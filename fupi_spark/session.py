@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the sandbox (local[N]) while keeping
+every setting meaningful on a real multi-executor cluster.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime coalescing + skew-join splitting replace hand-tuned
+  shuffle partition counts at scale.
+- Arrow on: every pandas UDF moves batches over Arrow IPC; binary audio
+  payloads make maxRecordsPerBatch the OOM guard (bounded batches keep
+  executor memory flat regardless of table size).
+- shuffle.partitions defaults to cores here; on a cluster you set it to
+  2-3x total cores or rely on AQE coalescing from a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Audio `bytes` rows are KB-to-MB scale; keep Arrow batches bounded so a
+# 4 GB-class executor never materializes more than ~64 MB per batch.
+ARROW_MAX_RECORDS = 2048
+
+
+def get_spark(
+    app_name: str = "fupi_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` drives local[N]; on a real cluster the master comes from
+    spark-submit and this falls through to the submitted conf.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("FUPI_SPARK_DRIVER_MEM", "24g"))
+    )
+    # Only force a master when none was provided by the launcher.
+    if not os.environ.get("SPARK_MASTER") and "spark.master" not in (extra_conf or {}):
+        builder = builder.master(f"local[{cores}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
