@@ -1,0 +1,184 @@
+"""Bin-packing small-file compaction — the north-rule centerpiece.
+
+The reference's one-call ``table.compact_files()``
+(/root/reference/fupi/embedders.py:127-128, Lance fragment merge)
+becomes an explicit, resumable Spark job:
+
+1. plan   — read per-file stats from the manifest; first-fit-decreasing
+            pack undersized files into target-size bins (driver-side:
+            the packer sees *files*, not rows — thousands of entries at
+            10^12-row scale, safely driver-sized);
+2. rewrite— ONE Spark job for all bins: read every packed file, tag each
+            row with its bin via a broadcast file→bin map, then
+            ``repartition(num_bins, _bin)`` + ``write.partitionBy(_bin)``
+            so each bin lands as exactly one output file (a hash
+            collision only co-locates two bins in one task — they still
+            split into separate files per partition directory, so the
+            FFD size bound holds per file);
+3. record — per-bin lineage (files-in/out, bytes, rows) checkpointed
+            before commit; a resumed job re-uses completed bins;
+4. commit — optimistic snapshot commit replacing packed files.
+
+Scale notes: no collect() of row data anywhere; the only shuffle is the
+single repartition by bin (unavoidable: compaction *is* data movement);
+AQE stays out of the way because partition count equals bin count by
+construction.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from .lineage import LineageLog
+from .meta import Snapshot, Table, entries_to_arrow, local_path
+
+
+@dataclass
+class Bin:
+    bin_id: int
+    files: list[dict]  # manifest entries
+
+    @property
+    def byte_size(self) -> int:
+        return sum(e["byte_size"] for e in self.files)
+
+    @property
+    def row_count(self) -> int:
+        return sum(e["row_count"] for e in self.files)
+
+
+def ffd_pack(entries: list[dict], target_bytes: int, min_file_bytes: int | None = None) -> list[Bin]:
+    """First-fit-decreasing: pack files smaller than ``min_file_bytes``
+    (default: target) into bins of ≤ ``target_bytes``.
+
+    Invariants (property-tested): every bin ≤ target unless it holds a
+    single oversized file; deterministic for a given entry list; every
+    candidate appears in exactly one bin.
+    """
+    min_file_bytes = min_file_bytes if min_file_bytes is not None else target_bytes
+    candidates = [e for e in entries if e["byte_size"] < min_file_bytes]
+    candidates.sort(key=lambda e: (-e["byte_size"], e["file_path"]))
+    bins: list[Bin] = []
+    for e in candidates:
+        placed = False
+        for b in bins:
+            if b.byte_size + e["byte_size"] <= target_bytes:
+                b.files.append(e)
+                placed = True
+                break
+        if not placed:
+            bins.append(Bin(len(bins), [e]))
+    return bins
+
+
+def compact(
+    table: Table,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: int | None = None,
+    job_id: str | None = None,
+    sort_within: list[str] | None = None,
+) -> Snapshot | None:
+    """Run (or resume) a compaction job. Returns the new snapshot, or
+    None when nothing needs compacting."""
+    spark = table.spark
+    base = table.current_snapshot()
+    entries = table.manifest_entries(base).to_pylist()
+    bins = [b for b in ffd_pack(entries, target_bytes, min_file_bytes) if len(b.files) > 1]
+    if not bins:
+        return None
+
+    job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
+    log = LineageLog(table, job_id)
+    # a unit counts as done only if it covered the same input files —
+    # guards against a stale lineage dir from a different table state
+    done = {
+        uid: rec
+        for uid, rec in log.completed_units().items()
+        if uid < len(bins)
+        and sorted(rec["files_in"]) == sorted(e["file_path"] for e in bins[uid].files)
+    }
+    todo = [b for b in bins if b.bin_id not in done]
+
+    if todo:
+        # one job for all remaining bins: tag rows with bin via a
+        # broadcast map join (file path → bin), shuffle once by bin.
+        path_to_bin = [
+            (f"{table.root}/{e['file_path']}", b.bin_id) for b in todo for e in b.files
+        ]
+        files = [p for p, _ in path_to_bin]
+        bmap = F.broadcast(spark.createDataFrame(path_to_bin, ["_path", "_bin"]))
+        df = (
+            spark.read.parquet(*files)
+            .withColumn(
+                "_path", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+            )
+            .join(bmap, "_path")
+            .drop("_path")
+        )
+        staging = table.stage_dir(job_id)
+        out = df.repartition(len(todo), F.col("_bin"))
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        out.write.mode("overwrite").partitionBy("_bin").parquet(staging)
+
+        # promote each bin's output into data/ and checkpoint lineage
+        for b in todo:
+            bin_dir = f"{staging}/_bin={b.bin_id}"
+            parts = sorted(
+                f for f in os.listdir(bin_dir) if f.endswith(".parquet")
+            )
+            files_out = []
+            bytes_out = 0
+            for i, p in enumerate(parts):
+                rel = f"data/{job_id}-b{b.bin_id:05d}-{i:03d}.parquet"
+                os.rename(f"{bin_dir}/{p}", f"{table.root}/{rel}")
+                files_out.append(rel)
+                bytes_out += os.path.getsize(f"{table.root}/{rel}")
+            log.complete_unit(
+                b.bin_id,
+                files_in=[e["file_path"] for e in b.files],
+                files_out=files_out,
+                bytes_in=b.byte_size,
+                bytes_out=bytes_out,
+                rows=b.row_count,
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # assemble commit from lineage (covers resumed + fresh units)
+    expected = {b.bin_id: sorted(e["file_path"] for e in b.files) for b in bins}
+    recs = [
+        r
+        for r in log.records()
+        if r["unit_id"] in expected and sorted(r["files_in"]) == expected[r["unit_id"]]
+    ]
+    assert len(recs) == len(bins), f"lineage incomplete: {len(recs)}/{len(bins)}"
+    removed = {p for r in recs for p in r["files_in"]}
+    out_paths = [p for r in recs for p in r["files_out"]]
+    # recompute stats for the new files as one DataFrame aggregation
+    new_df = spark.read.parquet(*[f"{table.root}/{p}" for p in out_paths])
+    stats = {local_path(r["file_path"]): r for r in table._file_stats_df(new_df).collect()}
+    added_entries = []
+    for p in out_paths:
+        r = stats[f"{table.root}/{p}"]
+        e = {
+            "file_path": p,
+            "row_count": r["row_count"],
+            "byte_size": os.path.getsize(f"{table.root}/{p}"),
+        }
+        for c in table.stats_cols:
+            e[f"min_{c}"] = r[f"min_{c}"]
+            e[f"max_{c}"] = r[f"max_{c}"]
+        added_entries.append(e)
+
+    return table.commit(
+        "compact",
+        entries_to_arrow(added_entries, table.stats_spec),
+        removed_paths=removed,
+        base=base,
+        summary={"job_id": job_id, **log.metrics()},
+    )

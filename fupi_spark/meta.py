@@ -1,0 +1,440 @@
+"""Iceberg-style table metadata layer, built from scratch (SURVEY.md §7:
+the Iceberg *model* — snapshot → manifest → data files with per-file
+column stats — without binding to Iceberg runtime jars; BASELINE.json
+"from scratch, NOT a port").
+
+On-disk layout (object-store friendly: immutable files + one atomic
+create per commit):
+
+    <root>/
+      data/<job>-<k>.parquet            immutable data files
+      metadata/v00001.json ...          snapshot log (atomic O_EXCL create)
+      metadata/manifests/<id>.parquet   manifest files (file entries + stats)
+      _staging/<job>/                   transient write area
+      _lineage/<job>/unit-<k>.json      per-partition lineage checkpoints
+
+Visibility is manifest-driven: a data file not referenced by the
+current snapshot does not exist to readers — which makes failed jobs
+harmless (their staging/data output becomes orphan files collected by
+expire.gc_orphans).
+
+Concurrency: optimistic. A committer computes (removed, added) against
+its base snapshot, then claims metadata/v{n+1}.json with O_CREAT|O_EXCL.
+If another writer won, the committer rebases: reload current live set,
+verify none of its input files were removed (no overlap → its rewrite
+is still valid), recompute live = current − removed + added, retry.
+Overlap → CommitConflict, the job re-runs against the new snapshot.
+This serializes concurrent MERGE + compaction exactly like Iceberg's
+validation (north rule: "identical snapshot lineage and isolation under
+concurrent MERGE + compaction").
+
+The reference's Lance table versioning (every create/add/compact makes
+a new version, /root/reference/fupi/utils.py:42,48 +
+fupi/embedders.py:124-128) is the seed of this snapshot chain.
+
+Scale notes: manifests are parquet and consumed as DataFrames (not
+driver JSON), so planning scales with Spark, not driver memory; per-file
+stats are computed as distributed DataFrame aggregations over
+``_metadata.file_path`` (manifest "rewrite + stats recomputation as
+DataFrame aggregations", BASELINE.json north_star); the snapshot JSON
+itself holds only manifest *paths* (O(commits), not O(files)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def local_path(uri: str) -> str:
+    """'file:/p', 'file:///p' or '/p' → '/p'."""
+    if uri.startswith("file:"):
+        uri = uri[5:]
+        while uri.startswith("//"):
+            uri = uri[1:]
+    return uri
+
+
+class CommitConflict(Exception):
+    """Another writer invalidated this commit's inputs; re-run the job."""
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str
+    manifests: list[str]
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "snapshot_id": self.snapshot_id,
+                "parent_id": self.parent_id,
+                "operation": self.operation,
+                "manifests": self.manifests,
+                "summary": self.summary,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_path(path: str) -> "Snapshot":
+        with open(path) as f:
+            d = json.load(f)
+        return Snapshot(
+            d["snapshot_id"], d["parent_id"], d["operation"], d["manifests"], d["summary"]
+        )
+
+
+# stats tracked per data file: (column, arrow type of its min/max).
+# min/max pruning works for strings and ints alike.
+CLIPS_STATS: list[tuple[str, pa.DataType]] = [
+    ("clip_id", pa.string()),
+    ("sr_hz", pa.int64()),
+    ("dur_ms", pa.int64()),
+    ("codec", pa.string()),
+]
+
+
+class Table:
+    """Handle to one lakehouse table rooted at a directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_spec: list[tuple[str, pa.DataType]],
+    ):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.stats_spec = stats_spec
+        self.stats_cols = [c for c, _ in stats_spec]
+        self.manifest_schema = pa.schema(_manifest_arrow_fields(stats_spec))
+
+    # -- paths ------------------------------------------------------------
+    @property
+    def data_dir(self) -> str:
+        return f"{self.root}/data"
+
+    @property
+    def meta_dir(self) -> str:
+        return f"{self.root}/metadata"
+
+    @property
+    def manifest_dir(self) -> str:
+        return f"{self.meta_dir}/manifests"
+
+    def _snap_path(self, snapshot_id: int) -> str:
+        return f"{self.meta_dir}/v{snapshot_id:05d}.json"
+
+    # -- snapshot log ------------------------------------------------------
+    def snapshot_ids(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for f in os.listdir(self.meta_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def current_snapshot(self) -> Snapshot | None:
+        ids = self.snapshot_ids()
+        if not ids:
+            return None
+        return Snapshot.from_path(self._snap_path(ids[-1]))
+
+    def snapshot(self, snapshot_id: int) -> Snapshot:
+        return Snapshot.from_path(self._snap_path(snapshot_id))
+
+    def lineage_chain(self) -> list[dict]:
+        """Snapshot lineage: (id, parent, operation, summary) per commit."""
+        return [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_id": s.parent_id,
+                "operation": s.operation,
+                "summary": s.summary,
+            }
+            for s in (self.snapshot(i) for i in self.snapshot_ids())
+        ]
+
+    # -- manifests ---------------------------------------------------------
+    def manifest_entries(self, snapshot: Snapshot | None = None) -> pa.Table:
+        """All live file entries of a snapshot as one Arrow table."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None or not snap.manifests:
+            return _empty_manifest(self.stats_spec)
+        tables = [
+            pq.read_table(f"{self.root}/{m}").cast(self.manifest_schema)
+            for m in snap.manifests
+        ]
+        return pa.concat_tables(tables)
+
+    def manifest_df(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """Manifest entries as a Spark DataFrame (scale path: planning
+        joins/aggregations over file metadata run distributed)."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None or not snap.manifests:
+            return self.spark.createDataFrame([], schema=_manifest_spark_schema(self.stats_spec))
+        paths = [f"{self.root}/{m}" for m in snap.manifests]
+        return self.spark.read.parquet(*paths)
+
+    def live_files(self, snapshot: Snapshot | None = None) -> list[str]:
+        return self.manifest_entries(snapshot).column("file_path").to_pylist()
+
+    def write_manifest(self, entries: pa.Table) -> str:
+        rel = f"metadata/manifests/{uuid.uuid4().hex}.parquet"
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        pq.write_table(entries, f"{self.root}/{rel}")
+        return rel
+
+    # -- reads --------------------------------------------------------------
+    def scan(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (time travel when id given)."""
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        files = self.live_files(snap)
+        if not files:
+            raise ValueError("empty table: no committed snapshot with files")
+        return self.spark.read.parquet(*[f"{self.root}/{p}" for p in files])
+
+    def scan_in_manifest_order(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan with a per-file ordinal so tests can reconstruct the
+        exact physical order (file order from the manifest, row order
+        within a parquet file is preserved by the reader)."""
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        entries = self.manifest_entries(snap).to_pylist()
+        entries.sort(key=lambda e: e["file_path"])
+        dfs = []
+        for i, e in enumerate(entries):
+            dfs.append(
+                self.spark.read.parquet(f"{self.root}/{e['file_path']}").withColumn(
+                    "_file_ord", F.lit(i)
+                )
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # -- writes --------------------------------------------------------------
+    def stage_dir(self, job_id: str) -> str:
+        d = f"{self.root}/_staging/{job_id}"
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_datafiles(
+        self,
+        df: DataFrame,
+        job_id: str,
+        sort_within: list[str] | None = None,
+    ) -> pa.Table:
+        """Write df into immutable data files and return their manifest
+        entries (stats computed as a distributed DataFrame aggregation).
+
+        The caller controls physical partitioning (repartition /
+        repartitionByRange) before calling; this preserves it 1 task →
+        1 file (maxRecordsPerFile intentionally unset).
+        """
+        staging = self.stage_dir(job_id)
+        w = df.sortWithinPartitions(*sort_within) if sort_within else df
+        w.write.mode("overwrite").parquet(staging)
+        return self._promote_staging(staging, job_id)
+
+    def _promote_staging(self, staging: str, job_id: str) -> pa.Table:
+        # per-file stats: one distributed agg over the staged files
+        stats = self._file_stats_df(self.spark.read.parquet(staging)).collect()
+        os.makedirs(self.data_dir, exist_ok=True)
+        entries = []
+        for i, r in enumerate(sorted(stats, key=lambda r: r["file_path"])):
+            src_local = local_path(r["file_path"])
+            rel = f"data/{job_id}-{i:05d}.parquet"
+            os.rename(src_local, f"{self.root}/{rel}")
+            e = {
+                "file_path": rel,
+                "row_count": r["row_count"],
+                "byte_size": os.path.getsize(f"{self.root}/{rel}"),
+            }
+            for c in self.stats_cols:
+                e[f"min_{c}"] = r[f"min_{c}"]
+                e[f"max_{c}"] = r[f"max_{c}"]
+            entries.append(e)
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries_to_arrow(entries, self.stats_spec)
+
+    def _file_stats_df(self, df: DataFrame) -> DataFrame:
+        """Per-file min/max/count stats as one groupBy aggregation —
+        the manifest 'stats recomputation' required by the north rule.
+        Partial-agg friendly: combines map-side, shuffles only
+        (file, stats) partials."""
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        present = set(df.columns)
+        for c in self.stats_cols:
+            if c in present:
+                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+            else:
+                aggs += [
+                    F.lit(None).alias(f"min_{c}"),
+                    F.lit(None).alias(f"max_{c}"),
+                ]
+        return (
+            df.withColumn("file_path", F.col("_metadata.file_path"))
+            .groupBy("file_path")
+            .agg(*aggs)
+        )
+
+    # -- commits -------------------------------------------------------------
+    def commit(
+        self,
+        operation: str,
+        added: pa.Table,
+        removed_paths: set[str] | None = None,
+        base: Snapshot | None = None,
+        summary: dict | None = None,
+        input_paths: set[str] | None = None,
+        max_retries: int = 20,
+    ) -> Snapshot:
+        """Optimistic snapshot commit with rebase-on-race.
+
+        ``removed_paths``: files this op replaces (compact/merge/cluster).
+        ``input_paths``: files whose *content* the op depends on
+        (defaults to removed_paths) — if a concurrent commit removed any
+        of them, the op's output is stale → CommitConflict.
+        """
+        removed_paths = removed_paths or set()
+        input_paths = input_paths if input_paths is not None else set(removed_paths)
+        base = base or self.current_snapshot()
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+        for _ in range(max_retries):
+            current = self.current_snapshot()
+            if current is not None and base is not None and current.snapshot_id != base.snapshot_id:
+                # someone committed since we planned: validate inputs survive
+                cur_files = set(self.live_files(current))
+                if input_paths - cur_files:
+                    raise CommitConflict(
+                        f"{operation}: concurrent commit removed input files "
+                        f"{sorted(input_paths - cur_files)[:3]}..."
+                    )
+                base = current
+            live = self.manifest_entries(base) if base else _empty_manifest(self.stats_spec)
+            if removed_paths:
+                keep_mask = [p not in removed_paths for p in live.column("file_path").to_pylist()]
+                live = live.filter(pa.array(keep_mask))
+            merged = pa.concat_tables([live.cast(self.manifest_schema), added.cast(self.manifest_schema)])
+            manifest_rel = self.write_manifest(merged)
+
+            next_id = (base.snapshot_id if base else 0) + 1
+            snap = Snapshot(
+                snapshot_id=next_id,
+                parent_id=base.snapshot_id if base else None,
+                operation=operation,
+                manifests=[manifest_rel],
+                summary={
+                    **(summary or {}),
+                    "added_files": added.num_rows,
+                    "removed_files": len(removed_paths),
+                    "total_files": merged.num_rows,
+                    "total_rows": sum(merged.column("row_count").to_pylist()),
+                    "total_bytes": sum(merged.column("byte_size").to_pylist()),
+                },
+            )
+            path = self._snap_path(next_id)
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                base = self.current_snapshot()  # lost the race → rebase loop
+                continue
+            with os.fdopen(fd, "w") as f:
+                f.write(snap.to_json())
+                f.flush()
+                os.fsync(f.fileno())
+            return snap
+        raise CommitConflict(f"{operation}: gave up after {max_retries} rebase attempts")
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _manifest_arrow_fields(stats_spec: list[tuple[str, pa.DataType]]) -> list[pa.Field]:
+    fields = [
+        pa.field("file_path", pa.string()),
+        pa.field("row_count", pa.int64()),
+        pa.field("byte_size", pa.int64()),
+    ]
+    for c, typ in stats_spec:
+        fields.append(pa.field(f"min_{c}", typ))
+        fields.append(pa.field(f"max_{c}", typ))
+    return fields
+
+
+def _empty_manifest(stats_spec: list[tuple[str, pa.DataType]]) -> pa.Table:
+    schema = pa.schema(_manifest_arrow_fields(stats_spec))
+    return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+
+
+def _manifest_spark_schema(stats_spec: list[tuple[str, pa.DataType]]):
+    from pyspark.sql import types as T
+
+    _map = {pa.string(): T.StringType(), pa.int64(): T.LongType()}
+    fields = [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("row_count", T.LongType()),
+        T.StructField("byte_size", T.LongType()),
+    ]
+    for c, typ in stats_spec:
+        fields.append(T.StructField(f"min_{c}", _map.get(typ, T.StringType())))
+        fields.append(T.StructField(f"max_{c}", _map.get(typ, T.StringType())))
+    return T.StructType(fields)
+
+
+def entries_to_arrow(
+    entries: list[dict], stats_spec: list[tuple[str, pa.DataType]]
+) -> pa.Table:
+    schema = pa.schema(_manifest_arrow_fields(stats_spec))
+    if not entries:
+        return _empty_manifest(stats_spec)
+    cols = {f.name: pa.array([e.get(f.name) for e in entries], type=f.type) for f in schema}
+    return pa.table(cols).cast(schema)
+
+
+# ---------------------------------------------------------------------------
+# table-level API (reference parity: create/overwrite I16, append I17 —
+# /root/reference/fupi/utils.py:39-49, fupi/embedders.py:119-125)
+# ---------------------------------------------------------------------------
+
+
+def create_table(spark: SparkSession, root: str, stats_spec=None) -> Table:
+    t = Table(spark, root, stats_spec or CLIPS_STATS)
+    os.makedirs(t.meta_dir, exist_ok=True)
+    os.makedirs(t.data_dir, exist_ok=True)
+    if t.current_snapshot() is None:
+        t.commit("create", _empty_manifest(t.stats_spec))
+    return t
+
+
+def load_table(spark: SparkSession, root: str, stats_spec=None) -> Table:
+    t = Table(spark, root, stats_spec or CLIPS_STATS)
+    if t.current_snapshot() is None:
+        raise FileNotFoundError(f"no table at {root}")
+    return t
+
+
+def append(table: Table, df: DataFrame, job_id: str | None = None, parts: int | None = None) -> Snapshot:
+    """Append write: new data files + new snapshot referencing old ∪ new."""
+    job_id = job_id or f"append-{uuid.uuid4().hex[:8]}"
+    if parts:
+        df = df.repartition(parts)
+    added = table.write_datafiles(df, job_id)
+    return table.commit("append", added, summary={"job_id": job_id})

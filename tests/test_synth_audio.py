@@ -1,0 +1,80 @@
+"""Synthesis + audio codec invariants (FIXTURES.md §4.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fupi_spark import audio
+from fupi_spark.synth import synth_clips, synth_clips_pandas
+
+
+def test_wav_roundtrip():
+    pcm = audio.synth_pcm("clip_x_000000000001", 8000, 100)
+    buf = audio.wav_encode(pcm, 8000)
+    dec, sr = audio.wav_decode(buf)
+    assert sr == 8000
+    assert np.array_equal(dec, pcm)
+
+
+def test_fake_roundtrip():
+    pcm = audio.synth_pcm("clip_y_000000000002", 16000, 50)
+    assert np.array_equal(audio.fake_decode(audio.fake_encode(pcm, "opus")), pcm)
+
+
+def test_synth_deterministic_across_parallelism(spark):
+    a = synth_clips(spark, 200, dur_range_ms=(50, 120), parts=1).collect()
+    b = synth_clips(spark, 200, dur_range_ms=(50, 120), parts=7).collect()
+    pa = synth_clips_pandas(200, dur_range_ms=(50, 120))
+    sa = sorted((r.clip_id, bytes(r.bytes), r.sr_hz, r.dur_ms, r.codec, r.transcript) for r in a)
+    sb = sorted((r.clip_id, bytes(r.bytes), r.sr_hz, r.dur_ms, r.codec, r.transcript) for r in b)
+    sp = sorted(
+        (r.clip_id, bytes(r.bytes), r.sr_hz, r.dur_ms, r.codec, r.transcript)
+        for r in pa.itertuples()
+    )
+    assert sa == sb == sp
+    assert len({t[0] for t in sa}) == 200  # unique clip ids
+
+
+def test_verify_clips_snr_gate(spark):
+    clips = synth_clips(spark, 60, dur_range_ms=(50, 150), parts=3)
+    res = audio.verify_clips(clips).collect()
+    assert len(res) == 60
+    assert all(r.pcm_ok for r in res)
+    assert all(r.snr_db >= 30.0 for r in res)
+
+
+def test_verify_catches_corruption(spark):
+    """A corrupted payload must fail the SNR gate, not pass silently."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = synth_clips_pandas(5, dur_range_ms=(50, 80))
+    row = pdf.iloc[0]
+    buf = bytearray(row["bytes"])
+    buf[44:144] = bytes(100)  # zero out a chunk of samples
+    pdf.at[0, "bytes"] = bytes(buf)
+    clips = spark.createDataFrame(pdf)
+    res = {r.clip_id: r for r in audio.verify_clips(clips).collect()}
+    assert not res[row["clip_id"]].pcm_ok
+    assert sum(1 for r in res.values() if r.pcm_ok) == 4
+
+
+def test_extract_features(spark):
+    clips = synth_clips(spark, 30, dur_range_ms=(50, 100), parts=2)
+    feats = {r.clip_id: r for r in audio.extract_features(clips).collect()}
+    rows = clips.collect()
+    assert len(feats) == 30
+    for r in rows:
+        f = feats[r.clip_id]
+        assert f.n_samples == int(r.sr_hz * r.dur_ms / 1000) or f.n_samples >= 1
+        assert f.rms > 0
+        assert f.n_tokens == len(r.transcript.split(" "))
+
+
+def test_skew_knobs():
+    pdf = synth_clips_pandas(2000, dur_range_ms=(50, 60), hot_pct=30)
+    hot = pdf["clip_id"].str.startswith("clip_hot_").mean()
+    assert 0.25 < hot < 0.35
+    codec_share = (pdf["codec"] == "pcm_s16le").mean()
+    assert 0.75 < codec_share < 0.85
+    assert (pdf["sr_hz"] == 44100).mean() > 0.4
