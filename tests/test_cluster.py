@@ -1,0 +1,137 @@
+"""Clustering: vectorized curve keys vs scalar oracle; scan-order
+equality vs the pandas reference (FIXTURES.md §4.4); curve locality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fupi_spark import refimpl, zorder
+from fupi_spark.cluster import cluster, dimension_bounds
+from fupi_spark.compact import ffd_pack
+from fupi_spark.meta import create_table
+from fupi_spark.synth import synth_clips
+
+from .test_meta_compact import make_table
+
+
+def test_morton_matches_scalar_oracle():
+    rng = np.random.default_rng(3)
+    d = rng.integers(0, 1 << 15, size=(500, 4)).astype(np.uint64)
+    fast = zorder.morton4(d[:, 0], d[:, 1], d[:, 2], d[:, 3])
+    slow = [refimpl.morton4_scalar(*map(int, row)) for row in d]
+    assert fast.tolist() == slow
+
+
+def test_hilbert_matches_scalar_oracle():
+    rng = np.random.default_rng(4)
+    d = rng.integers(0, 1 << 15, size=(300, 4)).astype(np.uint64)
+    fast = zorder.hilbert4(d)
+    slow = [refimpl.hilbert4_scalar(list(map(int, row))) for row in d]
+    assert fast.tolist() == slow
+
+
+def test_hilbert_is_bijective_small():
+    """Hilbert index over a full 2-bit 4-D cube hits every cell once."""
+    coords = np.array(
+        [[a, b, c, d] for a in range(4) for b in range(4) for c in range(4) for d in range(4)],
+        dtype=np.uint64,
+    )
+    idx = zorder.hilbert4(coords, bits=2)
+    assert sorted(idx.tolist()) == list(range(256))
+
+
+def test_hilbert_locality_adjacent_cells():
+    """Consecutive Hilbert indices differ by exactly one unit step in
+    one dimension (the defining property of the curve)."""
+    coords = np.array(
+        [[a, b, c, d] for a in range(4) for b in range(4) for c in range(4) for d in range(4)],
+        dtype=np.uint64,
+    )
+    idx = zorder.hilbert4(coords, bits=2)
+    by_idx = {int(i): tuple(map(int, c)) for i, c in zip(idx, coords)}
+    for k in range(255):
+        a, b = np.array(by_idx[k]), np.array(by_idx[k + 1])
+        assert np.abs(a - b).sum() == 1
+
+
+def test_zorder_monotone_per_dimension():
+    """Z-value is monotone in each dimension when the others are fixed."""
+    base = np.array([100, 200, 300, 400], dtype=np.uint64)
+    for dim in range(4):
+        vals = []
+        for v in range(0, 32768, 1000):
+            c = base.copy()
+            c[dim] = v
+            vals.append(int(zorder.morton4(*(np.array([x]) for x in c))[0]))
+        assert vals == sorted(vals)
+
+
+def test_ffd_matches_independent_oracle():
+    import random
+
+    rng = random.Random(11)
+    entries = [
+        {"file_path": f"f{i:03d}", "byte_size": rng.randint(1, 90), "row_count": 1}
+        for i in range(100)
+    ]
+    bins = ffd_pack(entries, 128)
+    oracle = refimpl.ffd_pack_oracle([(e["file_path"], e["byte_size"]) for e in entries], 128)
+    assert [[f["file_path"] for f in b.files] for b in bins] == oracle
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_scan_order_matches_pandas_oracle(spark, tmp_table_dir, curve):
+    t = make_table(spark, tmp_table_dir, n=400, parts=20)
+    pdf_before = t.scan().select("clip_id", "sr_hz", "dur_ms", "codec", "transcript").toPandas()
+    bounds = dimension_bounds(t)
+
+    snap = cluster(t, curve=curve, target_bytes=1 << 18)
+    assert snap.operation == "cluster"
+
+    # engine order: files in name order (range-partition order), rows
+    # in file order
+    got = (
+        t.scan_in_manifest_order()
+        .orderBy("_file_ord")
+        .select("clip_id")
+        .toPandas()["clip_id"]
+    )
+    # within-file order must be checked per file to avoid relying on
+    # cross-file read order: reconstruct explicitly
+    import pyarrow.parquet as pq
+
+    engine_order = []
+    for e in sorted(t.manifest_entries().to_pylist(), key=lambda e: e["file_path"]):
+        engine_order += pq.read_table(f"{t.root}/{e['file_path']}", columns=["clip_id"])[
+            "clip_id"
+        ].to_pylist()
+
+    expected = refimpl.cluster_order(pdf_before, bounds, curve)["clip_id"].tolist()
+    assert engine_order == expected
+    assert sorted(engine_order) == sorted(got.tolist())
+
+    # schema purity: no helper columns leak into data files
+    assert set(t.scan().columns) == {"clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"}
+
+    # row multiset preserved
+    assert sorted(engine_order) == sorted(pdf_before["clip_id"].tolist())
+
+
+def test_cluster_improves_pruning_bounds(spark, tmp_table_dir):
+    """After Z-ordering, per-file clip_id ranges should be narrower than
+    the random layout — that's the point of clustering (file skipping)."""
+    t = make_table(spark, tmp_table_dir, n=600, parts=12)
+
+    def avg_span(entries):
+        spans = []
+        for e in entries:
+            lo = refimpl.str_u64_scalar(e["min_clip_id"])
+            hi = refimpl.str_u64_scalar(e["max_clip_id"])
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    before = avg_span(t.manifest_entries().to_pylist())
+    cluster(t, curve="zorder", target_bytes=1 << 18)
+    after = avg_span(t.manifest_entries().to_pylist())
+    assert after < before
