@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from fupi_spark import queries as Q
+from fupi_spark import pipeline_queries  # noqa: F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

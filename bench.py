@@ -1,0 +1,199 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Two parts:
+1. headline analytical queries from fupi_spark.queries at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+2. the north-rule maintenance pipeline (synth → append-as-small-files →
+   FFD compact → Z-order cluster → MERGE → SNR verify) on a
+   deterministic synthetic clip table, reporting GB/s and clips/s.
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the maintenance pipeline
+at two parallelism levels (local[N] and local[4N]) and report scaling
+efficiency = (T_N / T_4N) / 4 — the sandbox proxy for the north rule's
+N→4N-executor criterion (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_search",
+    "ann_topk_dot",
+    "dedup_exact",
+    "centroid_by_label",
+    "segment_explode",
+    "tpch_pricing_summary",
+    "join_orders_customer",
+    "events_running_window",
+]
+
+BENCH_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "20000"))
+
+
+SCRATCH = "/dev/shm/fupi_spark_bench" if os.path.isdir("/dev/shm") else "/tmp/fupi_spark_bench"
+
+
+def build_spark(cores: int):
+    from fupi_spark.session import get_spark
+
+    # RAM-backed scratch for table + shuffle: isolates the benchmark
+    # from shared-disk noise so the N-vs-4N scaling signal is CPU-bound
+    # and reproducible (the sandbox disk showed 4x run-to-run variance).
+    os.makedirs(f"{SCRATCH}/local", exist_ok=True)
+    return get_spark(
+        "fupi_spark_bench",
+        cores=cores,
+        shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.local.dir": f"{SCRATCH}/local",
+            # shared-host steal bursts create stragglers; speculative
+            # re-launch dodges them (same knob you'd set on a real
+            # multi-tenant cluster)
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "2",
+        },
+    )
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from fupi_spark import queries as Q
+
+    out = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = Q.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def run_maintenance(spark, workdir: str, n_clips: int) -> dict:
+    """The end-to-end maintenance pipeline; returns per-stage seconds +
+    throughput."""
+    from pyspark.sql import functions as F
+
+    from fupi_spark import meta
+    from fupi_spark.audio import verify_clips
+    from fupi_spark.cluster import cluster
+    from fupi_spark.compact import compact
+    from fupi_spark.expire import expire_snapshots
+    from fupi_spark.merge import merge_into
+    from fupi_spark.synth import synth_clips
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    stages: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *a):
+                stages[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    # workload constants are independent of the session's parallelism —
+    # the scaling comparison must run the SAME job at every level
+    n_small_files = 256
+    n_target_files = 64
+    t = meta.create_table(spark, workdir)
+    clips = synth_clips(spark, n_clips, dur_range_ms=(100, 500), parts=n_small_files)
+
+    with timed("ingest_append"):
+        # deliberately many small files — the compaction workload
+        meta.append(t, clips, job_id="seed")
+    table_bytes = sum(e["byte_size"] for e in t.manifest_entries().to_pylist())
+
+    with timed("compact"):
+        compact(t, target_bytes=max(table_bytes // n_target_files, 4 << 20))
+
+    with timed("cluster_zorder"):
+        cluster(t, curve="zorder", target_bytes=max(table_bytes // n_target_files, 4 << 20))
+
+    with timed("merge_upsert"):
+        upd = (
+            t.scan()
+            .limit(max(n_clips // 100, 10))
+            .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" v2")))
+        )
+        upd = upd.cache()
+        upd.count()
+        merge_into(t, upd, job_id="bench-merge")
+
+    with timed("verify_snr"):
+        bad = verify_clips(t.scan()).filter(~F.col("pcm_ok")).count()
+
+    with timed("expire_gc"):
+        expire_snapshots(t, retain_last=2)
+
+    total = sum(stages.values())
+    rewrite_sec = stages["compact"] + stages["cluster_zorder"] + stages["merge_upsert"]
+    return {
+        "stages": stages,
+        "n_clips": n_clips,
+        "table_gb": round(table_bytes / 1e9, 4),
+        "updated_rows_bad_snr": bad,
+        "total_sec": round(total, 3),
+        "maintenance_gb_per_s": round(2 * table_bytes / 1e9 / rewrite_sec, 4),
+        "clips_per_s": round(n_clips * 3 / rewrite_sec, 1),  # 3 rewrites of the table
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"{SCRATCH}/table")
+
+    spark = build_spark(cores)
+    t0 = time.perf_counter()
+    queries = run_headline(spark, sf_dir)
+    maint = run_maintenance(spark, workdir, BENCH_CLIPS)
+    total = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "headline_queries_plus_maintenance_pipeline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "maintenance_pipeline": maint["total_sec"]},
+        "sf": sf,
+        "maintenance": maint,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+        runs: dict[int, list] = {n: [], 4 * n: []}
+        # interleave levels and keep the fastest run per level — the
+        # sandbox host is shared, so min-of-k filters neighbor noise
+        for _ in range(reps):
+            for c in (n, 4 * n):
+                s = build_spark(c)
+                runs[c].append(run_maintenance(s, workdir + f"_{c}", BENCH_CLIPS))
+                s.stop()
+        best = {c: min(ms, key=lambda m: m["total_sec"]) for c, ms in runs.items()}
+        t_n = best[n]["total_sec"]
+        t_4n = best[4 * n]["total_sec"]
+        result["scaling"] = {
+            "t_n_sec": t_n,
+            "t_4n_sec": t_4n,
+            "n": n,
+            "efficiency": round((t_n / t_4n) / 4, 3),
+            "detail": {f"local[{c}]": best[c] for c in (n, 4 * n)},
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

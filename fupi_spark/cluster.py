@@ -7,25 +7,31 @@ Physical plan (idiomatic Spark, no RDDs):
    file entries — zero extra data passes) + codec dictionary ranks;
 2. curve key via a vectorized numpy pandas UDF (zorder.morton4 /
    zorder.hilbert4);
-3. ``repartitionByRange(n, zval, clip_id [, _salt])`` — range
-   partitioning gives *disjoint, ordered* key ranges per output file,
-   so concatenating files in name order reproduces the global
-   clustering order (tested against the pandas oracle);
-4. ``sortWithinPartitions(zval, clip_id)`` then project the key away —
-   data files keep the exact input_hint schema;
+3. explicit range buckets: approxQuantile over the curve key computed
+   from the *pruned* key columns only (parquet column pruning keeps the
+   audio payload out of this pass — repartitionByRange would instead
+   trigger a hidden sampling job that re-evaluates the full plan,
+   payload included, which we measured at ~2x the whole rewrite);
+4. bucket id assigned JVM-side (binary-search fold over the boundary
+   array), ONE hash shuffle on it, ``sortWithinPartitions(_zval,
+   clip_id)``, ``write.partitionBy(_bucket)`` — bucket directories are
+   renamed to range-ordered file names, so file-name order IS curve
+   order and concatenating files reproduces the global clustering order
+   (tested against the pandas oracle). A hash collision that co-locates
+   two buckets in one task still emits one file per bucket, each
+   internally sorted, so the property survives;
 5. manifest rewrite + per-file stats recomputation, snapshot commit
    (operation='cluster'), per-partition lineage.
 
-Skew: the (zval, clip_id) range key is unique per row, so the range
-partitioner's sampling already balances hot regions. When clustering on
-low-cardinality dims only (unique=False), a deterministic salt column is
-appended to the range key — the classic salting pattern the north rule
-asks for — to split a dominant key across partitions.
+Skew: quantile boundaries adapt to key density, so hot key regions
+(e.g. the synthetic 'hot' clip_id prefix) split across buckets — this
+is salting-by-quantile. For degenerate keys (one value dominating),
+``salt_buckets`` appends a deterministic pmod(hash(clip_id), S) term to
+the bucket id, the classic salting pattern.
 
-Scale notes: exactly one shuffle (the range repartition — clustering IS
-a data move); the pandas UDF is Arrow-batched and O(1) memory per
-batch; at 1000 executors the same plan holds because range boundaries
-come from distributed sampling, not the driver.
+Scale notes: two passes total — a key-column-only quantile pass and the
+rewrite shuffle. Both distribute across all executors; the boundary
+array (n_buckets-1 longs) is the only driver-side state.
 """
 
 from __future__ import annotations
@@ -35,13 +41,13 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import zorder
 from .lineage import LineageLog
-from .meta import Snapshot, Table, entries_to_arrow
+from .meta import Snapshot, Table
+from .compact import promote_partition_dirs
 
 CLUSTER_DIMS = ["clip_id", "sr_hz", "dur_ms", "codec"]
 
@@ -60,11 +66,9 @@ def dimension_bounds(table: Table) -> dict:
         "dur_lo": min(e["min_dur_ms"] for e in entries),
         "dur_hi": max(e["max_dur_ms"] for e in entries),
     }
-    # codec dictionary: low cardinality by design; min/max per file only
-    # bound the set, so collect distincts with one tiny agg
-    codecs = sorted(
-        r["codec"] for r in table.scan().select("codec").distinct().collect()
-    )
+    # codec dictionary: low cardinality by design (manifest min/max only
+    # bound the set) — one tiny distinct agg
+    codecs = sorted(r["codec"] for r in table.scan().select("codec").distinct().collect())
     b["codec_rank"] = {c: i for i, c in enumerate(codecs)}
     b["codec_hi"] = max(len(codecs) - 1, 1)
     return b
@@ -86,9 +90,7 @@ def curve_key_udf(bounds: dict, curve: str = "zorder"):
             )
             d1 = zorder.normalize_to_grid(sr.to_numpy(), bounds["sr_lo"], bounds["sr_hi"])
             d2 = zorder.normalize_to_grid(dur.to_numpy(), bounds["dur_lo"], bounds["dur_hi"])
-            d3 = zorder.normalize_to_grid(
-                codec.map(rank).fillna(0).to_numpy(), 0, chi
-            )
+            d3 = zorder.normalize_to_grid(codec.map(rank).fillna(0).to_numpy(), 0, chi)
             if curve == "hilbert":
                 z = zorder.hilbert4(np.stack([d0, d1, d2, d3], axis=1))
             else:
@@ -98,16 +100,28 @@ def curve_key_udf(bounds: dict, curve: str = "zorder"):
     return key
 
 
+def _bucket_expr(boundaries: list[int]):
+    """bucket = #boundaries strictly below _zval — a JVM-side fold over
+    a literal array; O(log n) would need a UDF, O(n_boundaries) stays in
+    codegen and n is small (≤ thousands)."""
+    arr = F.array(*[F.lit(int(b)) for b in boundaries])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("_zval") > b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
 def cluster(
     table: Table,
     curve: str = "zorder",
     target_bytes: int = 128 * 1024 * 1024,
     job_id: str | None = None,
-    unique_key: bool = True,
-    salt_buckets: int = 8,
+    salt_buckets: int = 0,
 ) -> Snapshot:
     """Full clustering rewrite of the current snapshot."""
     assert curve in ("zorder", "hilbert")
+    spark = table.spark
     base = table.current_snapshot()
     entries = table.manifest_entries(base).to_pylist()
     total_bytes = sum(e["byte_size"] for e in entries)
@@ -115,22 +129,40 @@ def cluster(
     job_id = job_id or f"cluster-{curve}-{uuid.uuid4().hex[:8]}"
 
     bounds = dimension_bounds(table)
-    df = table.scan().withColumn(
-        "_zval", curve_key_udf(bounds, curve)(*[F.col(c) for c in CLUSTER_DIMS])
-    )
-    range_keys = [F.col("_zval"), F.col("clip_id")]
-    if not unique_key:
-        # low-cardinality cluster key → salt so one hot key can't pin a
-        # whole range partition to a single task
-        df = df.withColumn("_salt", F.pmod(F.hash("clip_id"), F.lit(salt_buckets)))
-        range_keys.append(F.col("_salt"))
+    key_udf = curve_key_udf(bounds, curve)
 
-    out = (
-        df.repartitionByRange(n_out, *range_keys)
-        .sortWithinPartitions("_zval", "clip_id")
-        .drop("_zval", "_salt")
+    # pass 1: quantile boundaries from the key columns only (payload
+    # never read — column pruning)
+    keys_only = table.scan().select(*CLUSTER_DIMS).withColumn(
+        "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
     )
-    added = table.write_datafiles(out, job_id)
+    if n_out > 1:
+        qs = [i / n_out for i in range(1, n_out)]
+        boundaries = sorted(set(int(b) for b in keys_only.approxQuantile("_zval", qs, 0.001)))
+    else:
+        boundaries = []
+
+    # pass 2: the rewrite shuffle
+    df = table.scan().withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
+    bucket = _bucket_expr(boundaries) if boundaries else F.lit(0)
+    if salt_buckets > 1:
+        # degenerate-key escape hatch: spread one dominant key value
+        bucket = bucket * salt_buckets + F.pmod(F.hash("clip_id"), F.lit(salt_buckets))
+    df = df.withColumn("_bucket", bucket)
+
+    staging = table.stage_dir(job_id)
+    (
+        # _bucket leads the sort so the partitionBy writer's required
+        # ordering is already satisfied — otherwise it inserts its own
+        # (unstable) sort by _bucket and destroys the curve order
+        df.repartition(len(boundaries) + 1, F.col("_bucket"))
+        .sortWithinPartitions("_bucket", "_zval", "clip_id")
+        .drop("_zval")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(staging)
+    )
+    added = promote_partition_dirs(table, staging, job_id, "_bucket")
 
     # per-partition lineage: one unit per output file
     log = LineageLog(table, job_id)

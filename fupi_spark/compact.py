@@ -8,21 +8,22 @@ becomes an explicit, resumable Spark job:
             pack undersized files into target-size bins (driver-side:
             the packer sees *files*, not rows — thousands of entries at
             10^12-row scale, safely driver-sized);
-2. rewrite— ONE Spark job for all bins: read every packed file, tag each
-            row with its bin via a broadcast file→bin map, then
-            ``repartition(num_bins, _bin)`` + ``write.partitionBy(_bin)``
-            so each bin lands as exactly one output file (a hash
-            collision only co-locates two bins in one task — they still
-            split into separate files per partition directory, so the
-            FFD size bound holds per file);
+2. rewrite— ZERO-shuffle job: compaction is pure concatenation, so no
+            row ever needs to change tasks. Each bin is one branch
+            (read its files → coalesce(1)); the union of branches is a
+            single job with exactly one task per bin, each task
+            streaming its input files into one output file via
+            ``write.partitionBy(_bin)``. Bins run in waves of 256 to
+            bound driver plan size at 10^5-bin scale;
 3. record — per-bin lineage (files-in/out, bytes, rows) checkpointed
             before commit; a resumed job re-uses completed bins;
 4. commit — optimistic snapshot commit replacing packed files.
 
-Scale notes: no collect() of row data anywhere; the only shuffle is the
-single repartition by bin (unavoidable: compaction *is* data movement);
-AQE stays out of the way because partition count equals bin count by
-construction.
+Scale notes: no collect() of row data anywhere and NO shuffle at all —
+each task does sequential reads + one sequential write, which is the
+I/O floor for compaction; parallelism = number of bins, so a
+1000-executor cluster saturates as long as the packer produces ≥ that
+many bins per wave.
 """
 
 from __future__ import annotations
@@ -76,6 +77,44 @@ def ffd_pack(entries: list[dict], target_bytes: int, min_file_bytes: int | None 
     return bins
 
 
+def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: str):
+    """Promote a ``partitionBy(part_col)`` staging layout into data/ with
+    file names ordered by the partition value (zero-padded), so
+    file-name order reproduces bucket order. Returns manifest entries
+    with stats recomputed as one DataFrame aggregation."""
+    import pyarrow as pa  # noqa: F401
+
+    dirs = sorted(
+        (int(d.split("=")[1]), d)
+        for d in os.listdir(staging)
+        if d.startswith(f"{part_col}=")
+    )
+    promoted = []
+    for k, d in dirs:
+        parts = sorted(f for f in os.listdir(f"{staging}/{d}") if f.endswith(".parquet"))
+        for j, p in enumerate(parts):
+            rel = f"data/{job_id}-{k:06d}-{j:02d}.parquet"
+            os.rename(f"{staging}/{d}/{p}", f"{table.root}/{rel}")
+            promoted.append(rel)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    new_df = table.spark.read.parquet(*[f"{table.root}/{p}" for p in promoted])
+    stats = {local_path(r["file_path"]): r for r in table._file_stats_df(new_df).collect()}
+    added_entries = []
+    for p in promoted:
+        r = stats[f"{table.root}/{p}"]
+        e = {
+            "file_path": p,
+            "row_count": r["row_count"],
+            "byte_size": os.path.getsize(f"{table.root}/{p}"),
+        }
+        for c in table.stats_cols:
+            e[f"min_{c}"] = r[f"min_{c}"]
+            e[f"max_{c}"] = r[f"max_{c}"]
+        added_entries.append(e)
+    return entries_to_arrow(added_entries, table.stats_spec)
+
+
 def compact(
     table: Table,
     target_bytes: int = 128 * 1024 * 1024,
@@ -105,26 +144,37 @@ def compact(
     todo = [b for b in bins if b.bin_id not in done]
 
     if todo:
-        # one job for all remaining bins: tag rows with bin via a
-        # broadcast map join (file path → bin), shuffle once by bin.
-        path_to_bin = [
-            (f"{table.root}/{e['file_path']}", b.bin_id) for b in todo for e in b.files
-        ]
-        files = [p for p, _ in path_to_bin]
-        bmap = F.broadcast(spark.createDataFrame(path_to_bin, ["_path", "_bin"]))
-        df = (
-            spark.read.parquet(*files)
-            .withColumn(
-                "_path", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-            )
-            .join(bmap, "_path")
-            .drop("_path")
-        )
+        # Zero-shuffle rewrite: compaction is pure concatenation, so no
+        # data needs to move between tasks. Each bin becomes one branch
+        # (read its files → coalesce(1) → tag with bin id); the union of
+        # branches is ONE job with one task per bin, each task streaming
+        # its bin's files into one output file. Bins are processed in
+        # waves to bound the driver's plan size (relevant at 10^5 bins).
         staging = table.stage_dir(job_id)
-        out = df.repartition(len(todo), F.col("_bin"))
-        if sort_within:
-            out = out.sortWithinPartitions(*sort_within)
-        out.write.mode("overwrite").partitionBy("_bin").parquet(staging)
+        # one footer read for the schema, then every branch skips
+        # inference (34 branches x footer reads would serialize on the
+        # driver and starve the executors)
+        schema = spark.read.parquet(
+            f"{table.root}/{todo[0].files[0]['file_path']}"
+        ).schema
+        wave_size = 256
+        for w in range(0, len(todo), wave_size):
+            wave = todo[w : w + wave_size]
+            branches = []
+            for b in wave:
+                br = spark.read.schema(schema).parquet(
+                    *[f"{table.root}/{e['file_path']}" for e in b.files]
+                ).coalesce(1)
+                br = br.withColumn("_bin", F.lit(b.bin_id))
+                if sort_within:
+                    # lead with _bin: the partitionBy writer requires it
+                    # sorted and would otherwise re-sort unstably
+                    br = br.sortWithinPartitions("_bin", *sort_within)
+                branches.append(br)
+            df = branches[0]
+            for br in branches[1:]:
+                df = df.unionByName(br)
+            df.write.mode("append").partitionBy("_bin").parquet(staging)
 
         # promote each bin's output into data/ and checkpoint lineage
         for b in todo:

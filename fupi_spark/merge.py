@@ -111,7 +111,11 @@ def merge_into(
         1, n_rows_est // max(1, len(touched_paths) or 1)
     )
     n_files = max(1, -(-n_rows_est // rows_per_file))
-    result = result.repartitionByRange(n_files, MERGE_KEY)
+    # hash repartition, NOT repartitionByRange: range partitioning runs a
+    # hidden sampling job that would re-evaluate the full-outer join a
+    # second time; merge output needs no global order (per-file stats
+    # stay tight via the in-file sort below)
+    result = result.repartition(n_files, MERGE_KEY)
 
     added = table.write_datafiles(result, job_id, sort_within=[MERGE_KEY])
 

@@ -1,0 +1,590 @@
+"""Training-data-pipeline operators over the driver testdata — the
+dedup / similarity / text-analysis suite a 100 TB corpus pipeline needs
+(task brief: first-class components alongside SURVEY.md §2), each as an
+oracle-checked queries() entry.
+
+Cross-engine determinism follows queries.py's rules; additionally:
+- all hashing is md5 (bit-identical in Spark and DuckDB);
+- hex digits become ints via strpos('0123456789abcdef', ch)-1, which
+  both engines evaluate identically;
+- LSH hyperplane weights are small integer literals derived in Python
+  (hashlib) and embedded into both dialects, so dot products are
+  bitwise-identical (same left-assoc float math as QUERY_VEC).
+
+Scale notes: every operator here is a pure shuffle-partitioned
+DataFrame program — shingle/token explodes are linear maps, the LSH
+band join is an equi-join on (band, bucket) (the classic near-dup path
+at petabyte scale: candidates ∝ collisions, never O(n²)), and the
+brute-force Jaccard join is band-limited the same way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .queries import register, load
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# tokens with per-doc positions; empty tokens dropped in both dialects
+_DUCK_TOKS = """
+toks AS (
+  SELECT doc_id, t.tok AS token, t.pos AS pos
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos) t
+  WHERE t.tok <> ''
+)
+"""
+
+
+def _spark_toks(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).filter(F.col("token") != "").withColumn("pos", F.col("pos0") + 1).drop("pos0")
+
+
+# 3-gram shingles via lead() windows — identical logic in both dialects
+_DUCK_SHINGLES = (
+    _DUCK_TOKS
+    + """,
+shingles AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY LEAD(token, 2) OVER w IS NOT NULL
+)
+"""
+)
+
+
+def _spark_shingles(docs: DataFrame) -> DataFrame:
+    toks = _spark_toks(docs)
+    w = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("t1", F.lead("token", 1).over(w))
+        .withColumn("t2", F.lead("token", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "token", "t1", "t2").alias("shingle"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate candidate pairs
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = 2
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+seeds AS (SELECT UNNEST(range(0, {MINHASH_K})) AS seed),
+sigs AS (
+  SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS sig
+  FROM shingles CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(STRING_AGG(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs
+  GROUP BY doc_id, seed // 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → k minhashes (md5-seeded) → band
+    buckets → bucket-equi-join for candidate pairs. The join key is
+    (band, bucket), so shuffle volume is O(docs·bands), never O(n²)."""
+    docs = load(spark, sf_dir, "documents")
+    shingles = _spark_shingles(docs)
+    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("seed"))
+    sigs = (
+        shingles.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), "shingle")).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                    "|",
+                )
+            ).alias("bucket")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash document fingerprints
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_DUCK_TOKS},
+bit_votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(token), j + 1, 1)) - 1) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM toks CROSS JOIN (SELECT UNNEST(range(0, {SIMHASH_BITS})) AS j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bit_votes
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per token, bit j votes ±1 by the parity of the j-th md5
+    hex digit; the fingerprint sets bit j when the vote is positive.
+    Near-dups then differ in few bits (Hamming ball lookup). Pure
+    JVM-side expressions, partial-agg friendly."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _spark_toks(docs)
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("j"))
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id",
+            "j",
+            F.when(
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(F.md5("token"), F.col("j") + 1, 1),
+                    )
+                    - 1
+                )
+                % 2
+                == 1,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("v"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("vote"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_ngram",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1000000) AS BIGINT)
+         AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) >= 0.02
+ORDER BY jaccard_e6 DESC, doc_a, doc_b
+LIMIT 100
+""",
+)
+def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via an inverted-index self-join on shingle —
+    pair work ∝ shared shingles (at 100 TB you'd LSH-prefilter first,
+    which is exactly dedup_minhash_lsh)."""
+    docs = load(spark, sf_dir, "documents")
+    ds = _spark_shingles(docs).distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("n_both").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_both"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(j >= 0.02)
+        .select("doc_a", "doc_b", F.floor(j * 1000000).alias("jaccard_e6"))
+        .orderBy(F.col("jaccard_e6").desc(), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path next to brute force)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-7, 8] from md5 —
+    computed in Python, embedded as literals in BOTH dialects."""
+    planes = []
+    for p in range(n_planes):
+        w = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            w.append(int(h[:2], 16) % 16 - 7)
+        planes.append(w)
+    return planes
+
+
+LSH_PLANES = _lsh_planes(8, 64)
+
+
+def _plane_dot_duck(p: list[int]) -> str:
+    return " + ".join(f"CAST(embedding[{i + 1}] AS DOUBLE) * {w}.0" for i, w in enumerate(p))
+
+
+def _plane_dot_spark(p: list[int]):
+    wlit = F.array(*[F.lit(float(w)) for w in p])
+    return F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), wlit, lambda x, q: x * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+SELECT bucket, COUNT(*) AS n_vecs,
+       MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+FROM (
+  SELECT vec_id,
+         {" + ".join(f"(CASE WHEN {_plane_dot_duck(p)} > 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(LSH_PLANES))}
+           AS bucket
+  FROM embeddings
+)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing — the approximate-NN scale path:
+    hash every vector into one of 2^8 buckets; queries probe only their
+    own bucket (plus Hamming-1 neighbors for recall). At 100 TB this
+    turns ANN into a bucket-partitioned local problem."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    for i, p in enumerate(LSH_PLANES):
+        bucket = bucket + F.when(_plane_dot_spark(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return (
+        emb.select("vec_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID, quality scoring, token counts, fingerprints
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "to"],
+    "fn": ["data", "row", "table", "query"],
+    "op": ["sort", "merge", "join", "filter"],
+}
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH {_DUCK_TOKS},
+ratios AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN token IN ('the','a','of','to') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r_en,
+         CAST(SUM(CASE WHEN token IN ('data','row','table','query') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r_fn,
+         CAST(SUM(CASE WHEN token IN ('sort','merge','join','filter') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS r_op
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN r_en >= r_fn AND r_en >= r_op THEN 'en'
+            WHEN r_fn >= r_op THEN 'fn' ELSE 'op' END AS pred_lang,
+       CAST(FLOOR(GREATEST(r_en, r_fn, r_op) * 1000000) AS BIGINT) AS confidence_e6
+FROM ratios
+ORDER BY doc_id
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-ratio language-ID heuristic: marker-token hit
+    rates per class, argmax with a deterministic tie order."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _spark_toks(docs)
+    # exact int sums then ONE division → bitwise-identical doubles in
+    # both engines (AVG would accumulate floats in engine-specific order)
+    hit = lambda ms: (  # noqa: E731
+        F.sum(F.when(F.col("token").isin(ms), 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1))
+    )
+    ratios = toks.groupBy("doc_id").agg(
+        hit(LANG_MARKERS["en"]).alias("r_en"),
+        hit(LANG_MARKERS["fn"]).alias("r_fn"),
+        hit(LANG_MARKERS["op"]).alias("r_op"),
+    )
+    pred = (
+        F.when((F.col("r_en") >= F.col("r_fn")) & (F.col("r_en") >= F.col("r_op")), "en")
+        .when(F.col("r_fn") >= F.col("r_op"), "fn")
+        .otherwise("op")
+    )
+    # floor-scaled ints, not ROUND: the engines round the same double
+    # differently at decimal .5 boundaries (BigDecimal vs shortest-repr)
+    return ratios.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.floor(F.greatest("r_en", "r_fn", "r_op") * 1000000).alias("confidence_e6"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH {_DUCK_TOKS},
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(length(token)) AS DOUBLE) / COUNT(*) AS avg_tok_len,
+         CAST(SUM(CASE WHEN token IN ('the','a','of','to','and') THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS stopword_ratio
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, s.n_tokens,
+       CAST(FLOOR(s.avg_tok_len * 10000) AS BIGINT) AS avg_tok_len_e4,
+       CAST(FLOOR(s.stopword_ratio * 10000) AS BIGINT) AS stopword_ratio_e4,
+       CAST(FLOOR((0.4 * LEAST(s.n_tokens / 50.0, 1.0)
+           + 0.3 * LEAST(s.avg_tok_len / 6.0, 1.0)
+           + 0.3 * s.stopword_ratio) * 10000) AS BIGINT) AS quality_e4
+FROM documents d JOIN stats s ON s.doc_id = d.doc_id
+WHERE d.n_chars > 0
+ORDER BY d.doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/token-shape features combined
+    into one score — the filter stage of a corpus pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _spark_toks(docs)
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum(F.length("token")).cast("double") / F.count(F.lit(1))).alias("atl"),
+        (
+            F.sum(
+                F.when(F.col("token").isin(["the", "a", "of", "to", "and"]), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("sr"),
+    )
+    q = (
+        0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.3 * F.least(F.col("atl") / 6.0, F.lit(1.0))
+        + 0.3 * F.col("sr")
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("atl") * 10000).alias("avg_tok_len_e4"),
+            F.floor(F.col("sr") * 10000).alias("stopword_ratio_e4"),
+            F.floor(q * 10000).alias("quality_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+WITH {_DUCK_TOKS}
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CEIL(length(token) / 4.0)) AS BIGINT) AS n_subtokens
+FROM toks GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-style proxy (4-char
+    subword chunks) — the budget metric of every training pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        _spark_toks(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.ceil(F.length("token") / 4.0)).cast("long").alias("n_subtokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text))) AS fp_exact,
+       md5(substr(lower(trim(text)), 1, 64)) AS fp_prefix
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized full-text hash + prefix hash
+    (the rolling-hash stand-in; windowed variants chunk with
+    substring+explode the same way)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_exact"),
+        F.md5(F.substring(norm, 1, 64)).alias("fp_prefix"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage: semi/anti joins, set ops, rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+SELECT c.c_custkey, c.c_name, 'has_orders' AS status
+FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c.c_custkey, c.c_name, 'no_orders' AS status
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) + union — the GC
+    reachability primitives (expire.py) exercised on relational data."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    has = cust.join(orders, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", F.lit("has_orders").alias("status")
+    )
+    not_has = cust.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("status")
+    )
+    return has.unionByName(not_has).orderBy("c_custkey")
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register(
+    "set_ops_sources",
+    oracle="""
+SELECT source FROM (
+  SELECT source FROM documents WHERE lang = 'en'
+  INTERSECT
+  SELECT source FROM documents WHERE n_chars > 200
+) ORDER BY source
+""",
+)
+def set_ops_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op coverage."""
+    docs = load(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("source")
+    big = docs.filter(F.col("n_chars") > 200).select("source")
+    return en.intersect(big).orderBy("source")

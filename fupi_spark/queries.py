@@ -77,6 +77,28 @@ def _l2_sql(col: str, vec: list[float], dialect: str) -> str:
     return " + ".join(terms)
 
 
+def _l2_col(col: str, vec: list[float]):
+    """Spark Column twin of _l2_sql('duck'): zip_with + aggregate is a
+    left fold in array order, so it is bitwise-identical to the
+    unrolled left-associative SQL sum (verified in tests) while keeping
+    codegen small."""
+    qlit = F.array(*[F.lit(float(q)) for q in vec])
+    return F.aggregate(
+        F.zip_with(F.col(col).cast("array<double>"), qlit, lambda x, q: (x - q) * (x - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dot_col(col: str, vec: list[float]):
+    qlit = F.array(*[F.lit(float(q)) for q in vec])
+    return F.aggregate(
+        F.zip_with(F.col(col).cast("array<double>"), qlit, lambda x, q: x * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _dot_sql(col: str, vec: list[float], dialect: str) -> str:
     """Left-associative dot product, bitwise-equal across engines."""
     terms = []
@@ -141,9 +163,7 @@ def flagship_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TakeOrderedAndProject — per-partition top-k then driver merge, no
     # full shuffle sort; at 100 TB swap in an LSH/IVF pre-filter.
     hits = (
-        emb.select(
-            "vec_id", F.expr(_l2_sql("embedding", QUERY_VEC, "spark")).alias("distance")
-        )
+        emb.select("vec_id", _l2_col("embedding", QUERY_VEC).alias("distance"))
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(30)
     )
@@ -461,11 +481,7 @@ def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines by construction); only the output is rounded."""
     emb = load(spark, sf_dir, "embeddings")
     return (
-        emb.select(
-            "vec_id",
-            "label",
-            F.expr(_dot_sql("embedding", QUERY_VEC, "spark")).alias("score"),
-        )
+        emb.select("vec_id", "label", _dot_col("embedding", QUERY_VEC).alias("score"))
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .select("vec_id", "label", F.round("score", 6).alias("score_r"))
         .limit(20)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from fupi_spark import pipeline_queries  # noqa: F401  (registers entries)
 from fupi_spark import queries as Q
 
 from .oracle_check import compare
@@ -34,9 +35,7 @@ def test_flagship_topk_is_take_ordered(spark, sf_dir):
 
     emb = Q.load(spark, sf_dir, "embeddings")
     hits = (
-        emb.select(
-            "vec_id", F.expr(Q._l2_sql("embedding", Q.QUERY_VEC, "spark")).alias("d")
-        )
+        emb.select("vec_id", Q._l2_col("embedding", Q.QUERY_VEC).alias("d"))
         .orderBy("d", "vec_id")
         .limit(30)
     )
