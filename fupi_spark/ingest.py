@@ -1,0 +1,262 @@
+"""fupi ingestion-path parity (SURVEY.md §2.1, I1-I18) as one lazy
+DataFrame chain.
+
+Reference pipeline (/root/reference/embedder.py → fupi/data.py →
+fupi/embedders.py): JSONL scan → newline scrub → null/LIKE filters →
+limit → sequence ids → pysbd sentence segmentation (1→N explode) →
+fixed-size batches → ONNX batch embedding (dense + ColBERT-mean) →
+per-text dedup + centroid UDAF → left join → two LanceDB tables →
+compact_files.
+
+Spark re-expression:
+- I1 scan: ``spark.read.json`` (gzip transparent), explicit columns;
+- I4 scrub: built-in regexp_replace — the reference registered a Python
+  UDF for this (fupi/data.py:38,54-55); no UDF needed in Spark;
+- I5/I6 filters + limit: Catalyst-pushed predicates;
+- I2 ids: row_number window (dense ids like CREATE SEQUENCE);
+- I8 segmentation: regex splitter in a vectorized pandas UDF →
+  posexplode; global sentence_id via a window ordered (text_id, pos)
+  exactly like the reference's running counter (fupi/data.py:93);
+- I9/I10 batching + model: an *iterator* pandas UDF — the model handle
+  is created once per worker before the batch loop (the reference keeps
+  one ONNX session process-wide, fupi/utils.py:83-105); batch size is
+  Arrow's maxRecordsPerBatch instead of a hand-rolled list chunker.
+  The "model" here is a deterministic hash-projection embedder (ONNX
+  runtime isn't in this container): tokens → seeded projection vectors
+  → mean. Swapping in a real ONNX session changes only _load_model().
+- I11 ColBERT-mean: numpy axis-mean inside the same UDF
+  (fupi/embedders.py:87);
+- I12-I15: dropDuplicates → drop → groupBy + element-wise-mean centroid
+  (pure SQL posexplode/avg — no Python) → broadcast left join;
+- I16-I18: create/overwrite + append + compact through the metadata
+  layer (meta.py/compact.py), reproducing Lance's version chain.
+
+Scale notes: one shuffle for the sentence-id window (global dense ids —
+the reference's semantics; drop to monotonically_increasing_id when
+density isn't required), one for the centroid groupBy; the model UDF is
+the only Python hop and it's Arrow-batched end to end.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+EMB_DIM = 16  # parametric (reference uses 1024, fupi/utils.py:23)
+
+# ---------------------------------------------------------------------------
+# I1-I6: scan, scrub, filter, limit, ids
+# ---------------------------------------------------------------------------
+
+
+def scan_raw_docs(spark: SparkSession, path: str, num_samples: int = 0) -> DataFrame:
+    """JSONL dataset → cleaned text-level rows with dense text_id.
+
+    Mirrors fupi/data.py:57-74: projection+rename, newline scrub,
+    IS NOT NULL × 3, title NOT LIKE '%...', optional LIMIT, sequence id.
+    """
+    raw = spark.read.json(path)
+    df = (
+        raw.select(
+            F.col("date_publish_final").cast("date").alias("date"),
+            F.regexp_replace(F.col("title"), "\n", " ").alias("title"),
+            F.regexp_replace(F.col("maintext"), "\n", " ").alias("text"),
+        )
+        .filter(
+            F.col("date").isNotNull()
+            & F.col("title").isNotNull()
+            & F.col("text").isNotNull()
+            & ~F.col("title").like("%...")
+        )
+    )
+    if num_samples > 0:
+        df = df.limit(num_samples)
+    w = W.orderBy("date", "title")  # deterministic dense ids
+    return df.withColumn("text_id", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# I8: sentence segmentation (1→N explode) — vectorized splitter
+# ---------------------------------------------------------------------------
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def split_sentences(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Sentence-boundary split (regex stand-in for the reference's pysbd
+    segmenter, fupi/data.py:34). Vectorized over Arrow batches."""
+    for s in texts:
+        yield s.map(lambda t: [x for x in _SENT_RE.split(t or "") if x.strip()])
+
+
+def segment(texts: DataFrame) -> DataFrame:
+    """Explode texts into sentences with a global running sentence_id
+    (fupi/data.py:86-100)."""
+    sent = texts.select(
+        "text_id",
+        "date",
+        "title",
+        F.posexplode(split_sentences(F.col("text"))).alias("pos", "sentence"),
+    )
+    w = W.orderBy("text_id", "pos")
+    return sent.withColumn("sentence_id", F.row_number().over(w).cast("long")).drop("pos")
+
+
+# ---------------------------------------------------------------------------
+# I9-I11: batched vectorized model UDF (deterministic fake embedder)
+# ---------------------------------------------------------------------------
+
+
+def _load_model(dim: int):
+    """Per-worker 'model': a seeded projection table. Stand-in for the
+    reference's ONNX session + tokenizer (fupi/utils.py:83-105) — this
+    function is the single integration point for a real model."""
+    rng = np.random.default_rng(12345)
+    return rng.standard_normal((4096, dim)).astype(np.float32)
+
+
+def _embed_tokens(batch: pd.Series, table: np.ndarray) -> list[list[float]]:
+    out = []
+    dim = table.shape[1]
+    for text in batch:
+        toks = [t for t in (text or "").split(" ") if t]
+        if not toks:
+            out.append([0.0] * dim)
+            continue
+        idx = np.array([hash_token(t) % table.shape[0] for t in toks])
+        out.append(table[idx].mean(axis=0).astype(np.float32).tolist())
+    return out
+
+
+def hash_token(tok: str) -> int:
+    h = 2166136261
+    for b in tok.encode():
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def embed_udf(dim: int = EMB_DIM):
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        table = _load_model(dim)  # once per worker, outside the batch loop
+        for batch in batches:
+            yield pd.Series(_embed_tokens(batch, table))
+
+    return embed
+
+
+# ---------------------------------------------------------------------------
+# I12-I15: text-level derivation (dedup, centroid UDAF, join)
+# ---------------------------------------------------------------------------
+
+
+def text_level_from_sentences(sentences: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """Per-text centroid of sentence embeddings + text metadata
+    (fupi/embedders.py:91-117). The centroid is pure SQL:
+    posexplode → avg per (text, pos) → array re-assembly — fully
+    partial-aggregatable, no Python."""
+    texts = sentences.dropDuplicates(["text_id"]).select("text_id", "date", "title")
+    cent = (
+        sentences.select("text_id", F.posexplode("dense_embedding").alias("pos", "v"))
+        .groupBy("text_id", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("text_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda x: x["m"].cast("float"),
+            ).alias("dense_embedding")
+        )
+    )
+    return texts.join(cent, "text_id", "left")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end driver (I16-I18 via the metadata layer)
+# ---------------------------------------------------------------------------
+
+
+def ingest_corpus(
+    spark: SparkSession,
+    jsonl_path: str,
+    warehouse: str,
+    num_samples: int = 0,
+    dim: int = EMB_DIM,
+    compact_target_bytes: int = 32 << 20,
+):
+    """The full reference arc: scan → segment → embed → derive →
+    create/append/compact both tables. Returns (texts_table,
+    sentences_table) metadata handles."""
+    from . import meta
+    from .compact import compact
+
+    texts = scan_raw_docs(spark, jsonl_path, num_samples)
+    sentences = segment(texts)
+    emb = embed_udf(dim)
+    sentences = sentences.withColumn("dense_embedding", emb(F.col("sentence"))).withColumn(
+        "colbert_embedding", emb(F.concat(F.lit("cb:"), F.col("sentence")))
+    )
+    sentences = sentences.select(
+        "text_id", "sentence_id", "sentence", "dense_embedding", "colbert_embedding", "date", "title"
+    )
+    text_level = text_level_from_sentences(sentences, dim)
+
+    sent_stats = [("text_id", __import__("pyarrow").int64()), ("sentence_id", __import__("pyarrow").int64())]
+    text_stats = [("text_id", __import__("pyarrow").int64())]
+
+    t_sent = meta.create_table(spark, f"{warehouse}/sentence_level", stats_spec=sent_stats)
+    t_text = meta.create_table(spark, f"{warehouse}/text_level", stats_spec=text_stats)
+    meta.append(
+        t_sent,
+        sentences.select("text_id", "sentence_id", "sentence", "dense_embedding", "colbert_embedding"),
+        job_id="ingest",
+    )
+    meta.append(t_text, text_level, job_id="ingest")
+    compact(t_sent, target_bytes=compact_target_bytes, job_id="ingest-compact")
+    compact(t_text, target_bytes=compact_target_bytes, job_id="ingest-compact")
+    return t_text, t_sent
+
+
+# ---------------------------------------------------------------------------
+# deterministic raw_docs fixture generator (FIXTURES.md §2)
+# ---------------------------------------------------------------------------
+
+
+def write_raw_docs_jsonl(path: str, n: int, seed: int = 42) -> None:
+    """Seeded JSONL corpus with embedded newlines, multi-sentence texts,
+    ~10% nulls per field and ~5% '...'-suffixed titles — exercising
+    every filter in scan_raw_docs."""
+    import gzip
+    import json
+
+    rng = np.random.default_rng(seed)
+    vocab = "the quick brown fox jumps over lazy dog data spark table row".split()
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as f:
+        for i in range(n):
+            n_sent = int(rng.integers(1, 6))
+            sents = []
+            for _ in range(n_sent):
+                k = int(rng.integers(3, 9))
+                sents.append(" ".join(rng.choice(vocab, k)) + ".")
+            text = " ".join(sents)
+            if rng.random() < 0.3:
+                text = text.replace(". ", ".\n", 1)
+            title = " ".join(rng.choice(vocab, 3))
+            if rng.random() < 0.05:
+                title += "..."
+            row = {
+                "date_publish_final": f"2021-{int(rng.integers(1, 13)):02d}-{int(rng.integers(1, 29)):02d}",
+                "title": None if rng.random() < 0.1 else title + f" #{i}",
+                "maintext": None if rng.random() < 0.1 else text,
+                "extra_field": int(rng.integers(0, 100)),
+            }
+            f.write(json.dumps(row) + "\n")

@@ -1,0 +1,70 @@
+"""fupi query-path parity: engine search vs pandas oracle, both vector
+columns, plus the rows-only maintenance queries smoke."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fupi_spark import ingest
+from fupi_spark.search import embed_query, search, search_oracle_pandas
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    jsonl = str(root / "docs.jsonl.gz")
+    ingest.write_raw_docs_jsonl(jsonl, 100)
+    return ingest.ingest_corpus(spark, jsonl, str(root / "wh"), num_samples=60)
+
+
+@pytest.mark.parametrize("vcol", ["dense_embedding", "colbert_embedding"])
+def test_search_matches_pandas_oracle(spark, corpus, vcol):
+    t_text, t_sent = corpus
+    qtext = "quick brown fox jumps"
+    res = search(t_text, t_sent, qtext, k=10, vector_column=vcol).toPandas()
+
+    sent_pdf = t_sent.scan().toPandas()
+    text_pdf = t_text.scan().toPandas()
+    qvec = embed_query(qtext, colbert=vcol == "colbert_embedding")
+    exp = search_oracle_pandas(sent_pdf, text_pdf, qvec, k=10, vector_column=vcol)
+
+    assert list(res["text_id"]) == list(exp["text_id"])
+    assert list(res["sentence_ids"]) == list(exp["sentence_ids"])
+    assert list(res["sentences"]) == list(exp["sentences"])
+    pd.testing.assert_series_equal(
+        res["distance"], exp["distance"], check_exact=True, check_names=False
+    )
+
+
+def test_search_projection_pushdown(spark, corpus):
+    """Q4: only the needed columns reach the parquet scan."""
+    t_text, t_sent = corpus
+    from pyspark.sql import functions as F
+
+    from fupi_spark.search import _l2_to_query
+
+    qvec = embed_query("data table")
+    hits = t_sent.scan().select(
+        "text_id", "sentence_id", "sentence", _l2_to_query("dense_embedding", qvec).alias("d")
+    )
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "colbert_embedding" not in plan  # pruned
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "lakehouse_compact_roundtrip",
+        "lakehouse_merge_upsert",
+        "audio_verify_snr",
+    ],
+)
+def test_maintenance_queries_deterministic(spark, name):
+    from fupi_spark import maintenance_queries  # noqa: F401
+    from fupi_spark.queries import QUERIES
+
+    a = sorted(map(str, QUERIES[name](spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(str, QUERIES[name](spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
+    assert len(a) >= 1
