@@ -91,6 +91,17 @@ def run_maintenance(spark, workdir: str, n_clips: int) -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
     stages: dict[str, float] = {}
 
+    # warm up JVM codegen + fork python workers so one-time costs don't
+    # land inside the first timed stage
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _warm(s):
+        return s
+    spark.range(1000).select(_warm("id")).count()
+
     def timed(name):
         class _T:
             def __enter__(self):
@@ -148,6 +159,46 @@ def run_maintenance(spark, workdir: str, n_clips: int) -> dict:
     }
 
 
+def run_scaling(workdir: str) -> dict:
+    """N-vs-4N scaling protocol. Each run executes in a FRESH python
+    process: a reused py4j JVM degrades run-over-run (measured 10.7s →
+    23.1s → 77.5s for an identical job in one JVM), which poisons any
+    in-process comparison. Levels interleave and the fastest rep per
+    level is kept (shared-host noise filter).
+    """
+    import subprocess
+
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+    clips = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", str(BENCH_CLIPS)))
+    runs: dict[int, list] = {n: [], 4 * n: []}
+    for _ in range(reps):
+        for c in (n, 4 * n):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--maintenance-json", str(c), f"{workdir}_{c}", str(clips)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            runs[c].append(json.loads(line))
+    best = {c: min(ms, key=lambda m: m["total_sec"]) for c, ms in runs.items()}
+    t_n = best[n]["total_sec"]
+    t_4n = best[4 * n]["total_sec"]
+    stage_eff = {
+        k: round((best[n]["stages"][k] / best[4 * n]["stages"][k]) / 4, 3)
+        for k in best[n]["stages"]
+    }
+    return {
+        "t_n_sec": t_n,
+        "t_4n_sec": t_4n,
+        "n": n,
+        "clips": clips,
+        "efficiency": round((t_n / t_4n) / 4, 3),
+        "per_stage_efficiency": stage_eff,
+        "detail": {f"local[{c}]": best[c] for c in (n, 4 * n)},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -171,29 +222,16 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         spark.stop()
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-        n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
-        runs: dict[int, list] = {n: [], 4 * n: []}
-        # interleave levels and keep the fastest run per level — the
-        # sandbox host is shared, so min-of-k filters neighbor noise
-        for _ in range(reps):
-            for c in (n, 4 * n):
-                s = build_spark(c)
-                runs[c].append(run_maintenance(s, workdir + f"_{c}", BENCH_CLIPS))
-                s.stop()
-        best = {c: min(ms, key=lambda m: m["total_sec"]) for c, ms in runs.items()}
-        t_n = best[n]["total_sec"]
-        t_4n = best[4 * n]["total_sec"]
-        result["scaling"] = {
-            "t_n_sec": t_n,
-            "t_4n_sec": t_4n,
-            "n": n,
-            "efficiency": round((t_n / t_4n) / 4, 3),
-            "detail": {f"local[{c}]": best[c] for c in (n, 4 * n)},
-        }
+        result["scaling"] = run_scaling(workdir)
 
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--maintenance-json":
+        cores, wd, clips = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+        s = build_spark(cores)
+        print(json.dumps(run_maintenance(s, wd, clips)))
+        s.stop()
+    else:
+        main()
