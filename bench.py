@@ -62,6 +62,22 @@ def build_spark(cores: int):
     )
 
 
+def warmup(spark) -> None:
+    """One-time JVM codegen + python-worker fork, outside all timers."""
+    from pyspark.sql.types import LongType
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    @F_warm.pandas_udf(LongType())
+    def _w(s):
+        return s
+
+    spark.range(1000).select(_w("id")).count()
+
+
+from pyspark.sql import functions as F_warm  # noqa: E402
+
+
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
     from fupi_spark import queries as Q
 
@@ -91,16 +107,8 @@ def run_maintenance(spark, workdir: str, n_clips: int) -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
     stages: dict[str, float] = {}
 
-    # warm up JVM codegen + fork python workers so one-time costs don't
-    # land inside the first timed stage
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def _warm(s):
-        return s
-    spark.range(1000).select(_warm("id")).count()
+    # one-time costs (JVM codegen, python worker fork) out of the timers
+    warmup(spark)
 
     def timed(name):
         class _T:
@@ -206,6 +214,7 @@ def main() -> None:
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"{SCRATCH}/table")
 
     spark = build_spark(cores)
+    warmup(spark)
     t0 = time.perf_counter()
     queries = run_headline(spark, sf_dir)
     maint = run_maintenance(spark, workdir, BENCH_CLIPS)

@@ -208,22 +208,36 @@ def compact(
     ]
     assert len(recs) == len(bins), f"lineage incomplete: {len(recs)}/{len(bins)}"
     removed = {p for r in recs for p in r["files_in"]}
-    out_paths = [p for r in recs for p in r["files_out"]]
-    # recompute stats for the new files as one DataFrame aggregation
-    new_df = spark.read.parquet(*[f"{table.root}/{p}" for p in out_paths])
-    stats = {local_path(r["file_path"]): r for r in table._file_stats_df(new_df).collect()}
+    # Stats fold instead of re-scan: compaction never changes rows, so a
+    # bin's min/max is the min/max over its input files' manifest stats
+    # and row_count is their sum — the manifest rewrite needs NO extra
+    # pass over the data (at 10^12 rows that pass is the single largest
+    # avoidable cost of the job).
+    by_path = {e["file_path"]: e for e in entries}
     added_entries = []
-    for p in out_paths:
-        r = stats[f"{table.root}/{p}"]
-        e = {
-            "file_path": p,
-            "row_count": r["row_count"],
-            "byte_size": os.path.getsize(f"{table.root}/{p}"),
-        }
-        for c in table.stats_cols:
-            e[f"min_{c}"] = r[f"min_{c}"]
-            e[f"max_{c}"] = r[f"max_{c}"]
-        added_entries.append(e)
+    for r in recs:
+        ins = [by_path[p] for p in r["files_in"]]
+        outs = r["files_out"]
+        for j, p in enumerate(outs):
+            e = {
+                "file_path": p,
+                "byte_size": os.path.getsize(f"{table.root}/{p}"),
+                # multi-file bins are rare (hash-collision split); rows
+                # per out-file are only exact when the bin is one file
+                "row_count": r["rows"] if len(outs) == 1 else None,
+            }
+            for c in table.stats_cols:
+                e[f"min_{c}"] = min(x[f"min_{c}"] for x in ins)
+                e[f"max_{c}"] = max(x[f"max_{c}"] for x in ins)
+            added_entries.append(e)
+    # exact per-file row counts for any multi-file bins (cheap metadata
+    # read of just those files)
+    missing = [e for e in added_entries if e["row_count"] is None]
+    if missing:
+        import pyarrow.parquet as pq
+
+        for e in missing:
+            e["row_count"] = pq.ParquetFile(f"{table.root}/{e['file_path']}").metadata.num_rows
 
     return table.commit(
         "compact",
