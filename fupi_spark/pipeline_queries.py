@@ -588,3 +588,57 @@ def set_ops_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = docs.filter(F.col("lang") == "en").select("source")
     big = docs.filter(F.col("n_chars") > 200).select("source")
     return en.intersect(big).orderBy("source")
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+)
+WHERE rn <= 3
+ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via rank window — the grouped-top-k pattern
+    (shuffles once on the group key; no global sort)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_returnflag", F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "events_time_bucket",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+       COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour_bucket, event_type
+""",
+)
+def events_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation (date_trunc) — the rollup primitive for
+    event/metrics tables; exact-count outputs keep the oracle float-free."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )

@@ -1,0 +1,89 @@
+"""Physical-plan audits (.explain discipline): filters reach the
+parquet scan, projections prune columns, small joins broadcast, top-k
+avoids global sorts, and maintenance jobs contain no surprise shuffles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fupi_spark import queries as Q
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = Q.QUERIES["ingest_scan_filter"](spark, sf_dir)
+    s = formatted(df)
+    assert "PushedFilters:" in s
+    # the numeric predicate must be pushed into the parquet reader
+    assert "GreaterThan(n_chars,100)" in s, s
+
+
+def test_projection_pruning_reaches_scan(spark, sf_dir):
+    df = Q.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    s = formatted(df)
+    assert "ReadSchema" in s
+    read_schema = [ln for ln in s.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_flagship_join_is_broadcast(spark, sf_dir):
+    df = Q.QUERIES["flagship_search"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_pricing_summary_has_partial_aggregation(spark, sf_dir):
+    df = Q.QUERIES["tpch_pricing_summary"](spark, sf_dir)
+    p = plan_of(df)
+    # partial (map-side) + final agg around one exchange
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_compact_plan_has_no_shuffle(spark, tmp_table_dir):
+    """The compaction rewrite must be shuffle-free: one task per bin,
+    sequential read → sequential write."""
+    from fupi_spark import meta
+    from fupi_spark.compact import ffd_pack
+    from fupi_spark.synth import synth_clips
+
+    t = meta.create_table(spark, tmp_table_dir)
+    meta.append(t, synth_clips(spark, 120, dur_range_ms=(50, 80)), job_id="seed", parts=12)
+    entries = t.manifest_entries().to_pylist()
+    bins = ffd_pack(entries, 1 << 30)
+    schema = spark.read.parquet(f"{t.root}/{bins[0].files[0]['file_path']}").schema
+    branches = [
+        spark.read.schema(schema)
+        .parquet(*[f"{t.root}/{e['file_path']}" for e in b.files])
+        .coalesce(1)
+        .withColumn("_bin", F.lit(b.bin_id))
+        for b in bins
+    ]
+    df = branches[0]
+    for br in branches[1:]:
+        df = df.unionByName(br)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+
+
+def test_merge_prune_join_is_metadata_only(spark, tmp_table_dir):
+    """MERGE file pruning joins the manifest (file entries), not data."""
+    from fupi_spark import meta
+    from fupi_spark.merge import plan_touched_files
+    from fupi_spark.synth import synth_clips
+
+    t = meta.create_table(spark, tmp_table_dir)
+    meta.append(t, synth_clips(spark, 200, dur_range_ms=(50, 80)), job_id="seed", parts=10)
+    src = t.scan().select("clip_id").limit(5)
+    touched = plan_touched_files(t, src, t.current_snapshot())
+    assert 0 < len(touched) <= 10
+    # every touched entry is a manifest row (stats present), no payload
+    assert all("min_clip_id" in e and "bytes" not in e for e in touched)
