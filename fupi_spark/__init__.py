@@ -16,3 +16,15 @@ pandas/Arrow UDFs for per-row payload work (never per-row Python).
 """
 
 __version__ = "0.1.0"
+
+# Public API (the reference exports HuggingFaceDataset + LanceDBEmbedder,
+# fupi/__init__.py:1-2; ours exports the engine surface).
+from .meta import Table, create_table, load_table, append, CommitConflict  # noqa: E402,F401
+from .compact import compact, ffd_pack  # noqa: E402,F401
+from .cluster import cluster  # noqa: E402,F401
+from .merge import merge_into  # noqa: E402,F401
+from .expire import expire_snapshots, gc_orphans  # noqa: E402,F401
+from .synth import synth_clips  # noqa: E402,F401
+from .audio import verify_clips, extract_features  # noqa: E402,F401
+from .ingest import ingest_corpus  # noqa: E402,F401
+from .search import search, translate_results, results_to_records  # noqa: E402,F401

@@ -132,3 +132,48 @@ def search_oracle_pandas(
         )
     out = pd.DataFrame(rows).sort_values(["distance", "text_id"], kind="mergesort").head(k)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q12: batch translation map (searcher.py:42-80 — M2M100/CTranslate2
+# generate over title/sentence batches, bg→en). The model library is not
+# in this container, so the kernel is a deterministic stub; the Spark
+# shape (mapInPandas, per-worker model handle, appended columns) is the
+# real pattern a production model drops into.
+# ---------------------------------------------------------------------------
+
+_TRANSLATION_TABLE = {
+    "the": "le", "quick": "rapide", "brown": "brun", "fox": "renard",
+    "jumps": "saute", "over": "sur", "lazy": "paresseux", "dog": "chien",
+    "data": "données", "spark": "étincelle", "table": "tableau", "row": "rang",
+}
+
+
+def translate_results(results: DataFrame, cols: tuple[str, str] = ("title", "sentences")) -> DataFrame:
+    """Append `<col>_translated` columns via an Arrow-batched
+    mapInPandas 'model' (token-map stub standing in for CTranslate2
+    generate; reference loads the model lazily once per process,
+    searcher.py:122-144)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        results.schema.fields
+        + [T.StructField(f"{c}_translated", T.StringType(), True) for c in cols]
+    )
+
+    def run(batches):
+        model = dict(_TRANSLATION_TABLE)  # per-worker "model" load
+        for pdf in batches:
+            for c in cols:
+                pdf[f"{c}_translated"] = pdf[c].map(
+                    lambda s: " ".join(model.get(t, t) for t in str(s).split(" "))
+                )
+            yield pdf
+
+    return results.mapInPandas(run, schema=out_schema)
+
+
+def results_to_records(results: DataFrame) -> list[dict]:
+    """Q13: dict-records sink at the API edge (searcher.py:78-80)."""
+    return results.toPandas().to_dict("records")

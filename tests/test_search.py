@@ -68,3 +68,22 @@ def test_maintenance_queries_deterministic(spark, name):
     b = sorted(map(str, QUERIES[name](spark, "/root/testdata/sf0.001").collect()))
     assert a == b
     assert len(a) >= 1
+
+
+def test_translation_stage_and_records_sink(spark, corpus):
+    """Q12+Q13: translation map appends columns; records sink shapes
+    the API payload (searcher.py:42-80, :78-80)."""
+    from fupi_spark.search import results_to_records, search, translate_results
+
+    t_text, t_sent = corpus
+    res = search(t_text, t_sent, "quick brown fox", k=5)
+    tr = translate_results(res)
+    rows = tr.collect()
+    assert len(rows) == 5
+    assert all(hasattr(r, "title_translated") and hasattr(r, "sentences_translated") for r in rows)
+    sample = [r for r in rows if "quick" in r.sentences][:1]
+    if sample:
+        assert "rapide" in sample[0].sentences_translated
+    recs = results_to_records(res)
+    assert isinstance(recs, list) and isinstance(recs[0], dict)
+    assert set(recs[0]) == {"distance", "text_id", "date", "title", "sentence_ids", "sentences"}
