@@ -207,6 +207,32 @@ class Table:
             raise ValueError("empty table: no committed snapshot with files")
         return self.spark.read.parquet(*[f"{self.root}/{p}" for p in files])
 
+    def scan_pruned(
+        self, col: str, lo, hi, snapshot_id: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Range scan with manifest-stats file skipping — the query-side
+        payoff of clustering: a file is read only if its [min, max]
+        range for ``col`` intersects [lo, hi]. Returns (df, files_read,
+        files_total). The residual row filter still reaches the parquet
+        reader (row-group pruning), so skipping composes with pushdown.
+
+        Scale note: at 10^12 rows the skip decision is a filter over
+        manifest *entries*; do it with manifest_df() joins when entry
+        counts outgrow the driver (same predicate, distributed)."""
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        entries = self.manifest_entries(snap).to_pylist()
+        keep = [
+            e
+            for e in entries
+            if not (e[f"max_{col}"] < lo or e[f"min_{col}"] > hi)
+        ]
+        if not keep:
+            df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
+            return df, 0, len(entries)
+        df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in keep])
+        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return df, len(keep), len(entries)
+
     def scan_in_manifest_order(self, snapshot_id: int | None = None) -> DataFrame:
         """Scan with a per-file ordinal so tests can reconstruct the
         exact physical order (file order from the manifest, row order

@@ -135,7 +135,7 @@ def test_compact_resume_skips_completed_bins(spark, tmp_table_dir, monkeypatch):
     target = int(sum(e["byte_size"] for e in entries) / 3)
 
     # run 1: crash after unit checkpointing, before commit
-    import fupi_spark.compact as C
+    from fupi_spark.lineage import LineageLog
 
     real_commit = meta.Table.commit
 
@@ -155,13 +155,13 @@ def test_compact_resume_skips_completed_bins(spark, tmp_table_dir, monkeypatch):
 
     # run 2 (resume): must not rewrite any completed unit
     calls = {"n": 0}
-    orig_write = C.LineageLog.complete_unit
+    orig_write = LineageLog.complete_unit
 
     def counting(self, *a, **kw):
         calls["n"] += 1
         return orig_write(self, *a, **kw)
 
-    monkeypatch.setattr(C.LineageLog, "complete_unit", counting)
+    monkeypatch.setattr(LineageLog, "complete_unit", counting)
     snap = compact(t, target_bytes=target, job_id="job-x")
     assert snap is not None
     assert calls["n"] == 0  # all units were already checkpointed
@@ -180,3 +180,25 @@ def test_stats_recomputed_after_compact(spark, tmp_table_dir):
         assert e["row_count"] > 0 and e["byte_size"] > 0
     total = sum(e["row_count"] for e in t.manifest_entries().to_pylist())
     assert total == 200
+
+
+def test_scan_pruned_skips_files_after_clustering(spark, tmp_table_dir):
+    """Stats-based file skipping: clustering tightens per-file clip_id
+    ranges, so a narrow range scan reads a small fraction of files and
+    returns exactly the right rows."""
+    from fupi_spark.cluster import cluster
+
+    t = make_table(spark, tmp_table_dir, n=600, parts=12)
+    all_ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    lo, hi = all_ids[50], all_ids[99]
+    expected = {c for c in all_ids if lo <= c <= hi}
+
+    # random layout: nearly every file intersects the range
+    _, read_before, total_before = t.scan_pruned("clip_id", lo, hi)
+
+    cluster(t, curve="zorder", target_bytes=1 << 18)
+    df, read_after, total_after = t.scan_pruned("clip_id", lo, hi)
+    got = {r.clip_id for r in df.select("clip_id").collect()}
+    assert got == expected  # correctness regardless of skipping
+    assert read_before == total_before  # random layout: no skipping possible
+    assert read_after < total_after  # clustered layout: files skipped
