@@ -89,6 +89,7 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
         for d in os.listdir(staging)
         if d.startswith(f"{part_col}=")
     )
+    table.mark_job_active(job_id)
     promoted = []
     for k, d in dirs:
         parts = sorted(f for f in os.listdir(f"{staging}/{d}") if f.endswith(".parquet"))
@@ -150,7 +151,16 @@ def compact(
         # branches is ONE job with one task per bin, each task streaming
         # its bin's files into one output file. Bins are processed in
         # waves to bound the driver's plan size (relevant at 10^5 bins).
+        #
+        # Crash-resume hygiene: a previous attempt may have died between
+        # the wave write and the promote loop, leaving staged part files
+        # that mode('append') would keep and the promote loop would then
+        # rename alongside this attempt's output (duplicate rows). Done
+        # bins' files were already renamed out of staging, so wiping the
+        # whole staging dir before rewriting is always safe.
+        shutil.rmtree(table.stage_dir(job_id), ignore_errors=True)
         staging = table.stage_dir(job_id)
+        table.mark_job_active(job_id)
         # one footer read for the schema, then every branch skips
         # inference (34 branches x footer reads would serialize on the
         # driver and starve the executors)
@@ -227,8 +237,13 @@ def compact(
                 "row_count": r["rows"] if len(outs) == 1 else None,
             }
             for c in table.stats_cols:
-                e[f"min_{c}"] = min(x[f"min_{c}"] for x in ins)
-                e[f"max_{c}"] = max(x[f"max_{c}"] for x in ins)
+                lo = [x[f"min_{c}"] for x in ins]
+                hi = [x[f"max_{c}"] for x in ins]
+                # a NULL input stat means that file's range is unknown →
+                # the folded range is unknown too (scan_pruned treats
+                # NULL as unbounded, so this stays conservative)
+                e[f"min_{c}"] = None if any(v is None for v in lo) else min(lo)
+                e[f"max_{c}"] = None if any(v is None for v in hi) else max(hi)
             added_entries.append(e)
     # exact per-file row counts for any multi-file bins (cheap metadata
     # read of just those files)

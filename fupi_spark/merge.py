@@ -4,34 +4,66 @@ The reference never updates rows (append-only + overwrite,
 /root/reference/fupi/utils.py:42,48); MERGE is the lakehouse operation
 that replaces that wholesale-overwrite habit with surgical rewrites:
 
-1. prune   — semi-join the source key set against per-file
-             [min_clip_id, max_clip_id] ranges from the manifest
-             (a DataFrame join on metadata, not data);
-2. join    — full-outer hash-shuffle join of source vs rows of the
-             *touched files only*:
-               matched        → source row (update) or drop (delete)
-               source-only    → insert
-               target-only    → carry forward;
-3. rewrite — write the join result as new files (copy-on-write:
-             untouched files carry into the new snapshot unchanged);
-4. commit  — optimistic; conflicts with a concurrent commit that
-             removed any touched file raise CommitConflict and the
-             caller re-runs against the new snapshot (snapshot
-             isolation, tested under concurrent MERGE + compaction).
+1. prune    — map source keys onto per-file [min_clip_id, max_clip_id]
+              ranges from the manifest. File ranges are driver-small by
+              design (the FFD packer already assumes that), so the
+              range test becomes: bin boundaries = sorted file mins,
+              each source key gets its bin via a vectorized
+              searchsorted pandas UDF, files explode (driver-side) into
+              the bins their range covers, and touched = equi-join on
+              bin + residual range filter. No BroadcastNestedLoopJoin,
+              never O(files × keys).
+2. classify — hash-shuffle FULL-OUTER join of source keys vs touched
+              target keys (BASELINE.json: "MERGE INTO implemented as a
+              hash-shuffle full-outer join") — *keys only*: the audio
+              payload never rides this shuffle. Yields
+              matched/insert/carry counts for the commit summary.
+3. rewrite  — copy-on-write of the touched files only:
+                updates: touched rows LEFT JOIN the (broadcast when
+                  small) source keyed structs → matched rows replaced,
+                  carry rows stream scan→write with NO shuffle at all;
+                deletes: LEFT ANTI join against source keys;
+                inserts: source LEFT ANTI join touched target keys.
+              Output granularity = scan partitioning (the session's
+              maxPartitionBytes), so file sizes stay healthy without a
+              repartition (which would shuffle the payload a second
+              time — round-1's 58 s merge was exactly that: payload
+              through a full-outer join AND a repartition).
+4. commit   — optimistic; a concurrent commit that removed any touched
+              file raises CommitConflict and the caller re-runs
+              (snapshot isolation, tested under concurrent MERGE +
+              compaction).
 
-Scale notes: the join shuffles only touched-file rows + source rows —
-with clustering in place, pruning keeps 'touched' proportional to the
-source, not the table; AQE's skew-join splitting covers hot clip_id
-prefixes. When the source is small, Spark's AQE converts the shuffle
-join to broadcast automatically.
+Clause surface (SQL MERGE parity):
+- WHEN MATCHED [AND cond] THEN UPDATE/DELETE (``when_matched``,
+  ``matched_condition`` — a SQL boolean over target columns bare and
+  source columns as ``_src.<col>``; a matched row failing the
+  condition carries forward unchanged);
+- WHEN NOT MATCHED THEN INSERT (``when_not_matched="insert"|"ignore"``);
+- WHEN NOT MATCHED BY SOURCE THEN DELETE
+  (``not_matched_by_source=None|"delete"``).
+
+Source key uniqueness is validated up front (duplicate source keys
+would multiply matched target rows through the join; SQL MERGE raises
+— so do we).
+
+Scale notes: the only payload-bearing stages are the touched-file scan
+and the parquet write — the I/O floor of copy-on-write. Pruning keeps
+'touched' proportional to the source when the table is clustered
+(tight per-file clip_id ranges); AQE covers the non-broadcast join
+path with skew splitting.
 """
 
 from __future__ import annotations
 
 import uuid
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .lineage import LineageLog
 from .meta import Snapshot, Table
@@ -39,18 +71,60 @@ from .meta import Snapshot, Table
 MERGE_KEY = "clip_id"
 
 
-def plan_touched_files(table: Table, source_keys: DataFrame, base: Snapshot) -> list[dict]:
+def plan_touched_files(table: Table, source: DataFrame, base: Snapshot) -> list[dict]:
     """File pruning by key-range stats: a file is touched iff some
-    source key falls inside its [min, max] key range. Runs as a
-    DataFrame semi-join over the manifest."""
-    entries = table.manifest_df(base)
-    k = source_keys.select(F.col(MERGE_KEY).alias("_k")).distinct()
-    touched = entries.join(
-        k,
-        (F.col("_k") >= F.col(f"min_{MERGE_KEY}")) & (F.col("_k") <= F.col(f"max_{MERGE_KEY}")),
-        "left_semi",
+    source key falls inside its [min, max] key range.
+
+    Equi-join formulation (no nested-loop): bin the key space at the
+    sorted file-min boundaries (driver-small by design), assign each
+    source key its bin with one vectorized searchsorted, explode each
+    file into the bins its range covers, equi-join on bin with a
+    residual range filter."""
+    entries = table.manifest_entries(base).to_pylist()
+    entries = [e for e in entries if e["row_count"] != 0]
+    if not entries:
+        return []
+    lo_k, hi_k = f"min_{MERGE_KEY}", f"max_{MERGE_KEY}"
+    # NULL stats → unbounded range → always touched
+    unbounded = [e for e in entries if e[lo_k] is None or e[hi_k] is None]
+    bounded = [e for e in entries if e[lo_k] is not None and e[hi_k] is not None]
+    if not bounded:
+        return entries
+    boundaries = sorted({e[lo_k] for e in bounded})
+    barr = np.array(boundaries, dtype=object)
+
+    # driver-side file→bins explode (total size ∝ overlap, 1-2 bins per
+    # file once the table is clustered)
+    file_bins = []
+    for ord_, e in enumerate(bounded):
+        b_lo = int(np.searchsorted(barr, e[lo_k], side="right")) - 1
+        b_hi = int(np.searchsorted(barr, e[hi_k], side="right")) - 1
+        for b in range(max(b_lo, 0), b_hi + 1):
+            file_bins.append((b, ord_, e[lo_k], e[hi_k]))
+    spark = table.spark
+    files_df = spark.createDataFrame(
+        file_bins, "bin int, file_ord int, f_min string, f_max string"
     )
-    return [r.asDict() for r in touched.collect()]
+
+    @F.pandas_udf(T.IntegerType())
+    def key_bin(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        b = np.array(boundaries, dtype=object)
+        for s in it:
+            yield pd.Series(
+                np.searchsorted(b, s.to_numpy(dtype=object), side="right") - 1
+            ).astype("int32")
+
+    keys = source.select(F.col(MERGE_KEY).alias("_k")).distinct()
+    touched_ords = (
+        keys.withColumn("bin", key_bin(F.col("_k")))
+        .join(F.broadcast(files_df), "bin")
+        .filter((F.col("_k") >= F.col("f_min")) & (F.col("_k") <= F.col("f_max")))
+        .select("file_ord")
+        .distinct()
+        .collect()
+    )
+    touched = [bounded[r["file_ord"]] for r in touched_ords]
+    return sorted(touched + unbounded, key=lambda e: e["file_path"])
 
 
 def merge_into(
@@ -58,68 +132,109 @@ def merge_into(
     source: DataFrame,
     job_id: str | None = None,
     when_matched: str = "update",
-    target_file_rows: int | None = None,
+    matched_condition: str | None = None,
+    when_not_matched: str = "insert",
+    not_matched_by_source: str | None = None,
+    broadcast_max_rows: int = 100_000,
 ) -> Snapshot:
-    """Upsert (or delete-on-match) ``source`` into the table, CoW-style.
+    """Upsert / delete-on-match ``source`` into the table, CoW-style.
 
     ``source`` must carry the full clip schema for update/insert rows.
     """
     assert when_matched in ("update", "delete")
+    assert when_not_matched in ("insert", "ignore")
+    assert not_matched_by_source in (None, "delete")
     spark = table.spark
     base = table.current_snapshot()
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
-
-    touched = plan_touched_files(table, source, base)
-    touched_paths = [e["file_path"] for e in touched]
     data_cols = source.columns
+
+    # source key uniqueness (SQL MERGE errors on multiple matches)
+    v = source.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(MERGE_KEY).alias("d")
+    ).collect()[0]
+    if v["n"] != v["d"]:
+        raise ValueError(
+            f"merge source has duplicate {MERGE_KEY} values "
+            f"({v['n']} rows, {v['d']} distinct keys)"
+        )
+    src_rows = v["n"]
+
+    if not_matched_by_source is not None:
+        # NOT MATCHED BY SOURCE clauses act on every target row, so the
+        # key-range pruning no longer bounds the rewrite: all files are
+        # touched (same as SQL MERGE semantics — this is a full-table CoW)
+        touched = [
+            e
+            for e in table.manifest_entries(base).to_pylist()
+            if e["row_count"] != 0
+        ]
+    else:
+        touched = plan_touched_files(table, source, base)
+    touched_paths = [e["file_path"] for e in touched]
 
     if touched_paths:
         target = spark.read.parquet(*[f"{table.root}/{p}" for p in touched_paths])
     else:
         target = spark.createDataFrame([], source.schema)
 
-    # full-outer hash-shuffle join on the merge key (BASELINE.json:
-    # "MERGE INTO implemented as a hash-shuffle full-outer join")
-    s = source.select(
-        F.col(MERGE_KEY).alias("_sk"), F.struct(*data_cols).alias("_srow")
-    )
-    t = target.select(
-        F.col(MERGE_KEY).alias("_tk"), F.struct(*data_cols).alias("_trow")
-    )
-    joined = t.join(s, t["_tk"] == s["_sk"], "full_outer")
+    # -- classify: the north-rule hash-shuffle full-outer join, on KEYS
+    # only (the payload never rides this shuffle; with column pruning
+    # the target side reads a single string column of the touched files)
+    tk = target.select(F.col(MERGE_KEY).alias("_tk"))
+    sk = source.select(F.col(MERGE_KEY).alias("_sk"))
+    cls = tk.join(sk, tk["_tk"] == sk["_sk"], "full_outer")
+    c = cls.agg(
+        F.sum(F.when(F.col("_tk").isNotNull() & F.col("_sk").isNotNull(), 1).otherwise(0)).alias("matched"),
+        F.sum(F.when(F.col("_tk").isNull(), 1).otherwise(0)).alias("inserts"),
+        F.sum(F.when(F.col("_sk").isNull(), 1).otherwise(0)).alias("carries"),
+    ).collect()[0]
+    n_matched = int(c["matched"] or 0)
+    n_inserts = int(c["inserts"] or 0)
+    n_carries = int(c["carries"] or 0)
 
+    # -- rewrite: payload attach. Broadcast the source structs when
+    # small so touched rows stream scan→write with no shuffle at all.
+    srcj = source.select(
+        F.col(MERGE_KEY).alias("_sk"), F.struct(*data_cols).alias("_src")
+    )
+    if src_rows <= broadcast_max_rows:
+        srcj = F.broadcast(srcj)
+
+    is_matched = F.col("_sk").isNotNull()
+    if matched_condition is not None:
+        is_matched = is_matched & F.expr(matched_condition)
+
+    j = target.join(srcj, target[MERGE_KEY] == F.col("_sk"), "left")
     if when_matched == "update":
-        # matched → source; source-only → insert; target-only → carry
-        picked = joined.select(
-            F.when(F.col("_sk").isNotNull(), F.col("_srow"))
-            .otherwise(F.col("_trow"))
-            .alias("_row")
+        picked = j.select(
+            F.when(is_matched, F.col("_src"))
+            .otherwise(F.struct(*[target[c_] for c_ in data_cols]))
+            .alias("_row"),
+            F.col("_sk"),
         )
+        if not_matched_by_source == "delete":
+            picked = picked.filter(F.col("_sk").isNotNull())
+        rewritten = picked.select(*[F.col(f"_row.{c_}").alias(c_) for c_ in data_cols])
     else:  # delete on match
-        picked = joined.filter(
-            F.col("_sk").isNull() | F.col("_tk").isNull()
-        ).select(
-            F.when(F.col("_sk").isNotNull(), F.col("_srow"))
-            .otherwise(F.col("_trow"))
-            .alias("_row")
+        keep = ~is_matched
+        if not_matched_by_source == "delete":
+            keep = keep & F.col("_sk").isNotNull()
+        rewritten = j.filter(keep).select(
+            *[target[c_].alias(c_) for c_ in data_cols]
         )
-    result = picked.select(*[F.col(f"_row.{c}").alias(c) for c in data_cols])
 
-    # size the rewrite: keep roughly the touched files' granularity
-    n_rows_est = sum(e["row_count"] for e in touched) or 1
-    rows_per_file = target_file_rows or max(
-        1, n_rows_est // max(1, len(touched_paths) or 1)
-    )
-    n_files = max(1, -(-n_rows_est // rows_per_file))
-    # hash repartition, NOT repartitionByRange: range partitioning runs a
-    # hidden sampling job that would re-evaluate the full-outer join a
-    # second time; merge output needs no global order (per-file stats
-    # stay tight via the in-file sort below)
-    result = result.repartition(n_files, MERGE_KEY)
+    if when_not_matched == "insert":
+        inserts = source.join(
+            target.select(MERGE_KEY), MERGE_KEY, "left_anti"
+        ).select(*data_cols)
+        result = rewritten.unionByName(inserts)
+    else:
+        result = rewritten
 
+    log = LineageLog(table, job_id)  # marks the job active before any write
     added = table.write_datafiles(result, job_id, sort_within=[MERGE_KEY])
 
-    log = LineageLog(table, job_id)
     for i, e in enumerate(added.to_pylist()):
         log.complete_unit(
             i,
@@ -138,6 +253,11 @@ def merge_into(
         summary={
             "job_id": job_id,
             "when_matched": when_matched,
+            "when_not_matched": when_not_matched,
+            "not_matched_by_source": not_matched_by_source,
             "touched_files": len(touched_paths),
+            "matched_rows": n_matched,
+            "inserted_rows": n_inserts if when_not_matched == "insert" else 0,
+            "carried_rows": n_carries,
         },
     )

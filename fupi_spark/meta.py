@@ -221,10 +221,14 @@ class Table:
         counts outgrow the driver (same predicate, distributed)."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         entries = self.manifest_entries(snap).to_pylist()
+        # NULL stats (column absent at write time) are unbounded — the
+        # file can never be skipped on that column.
         keep = [
             e
             for e in entries
-            if not (e[f"max_{col}"] < lo or e[f"min_{col}"] > hi)
+            if e[f"max_{col}"] is None
+            or e[f"min_{col}"] is None
+            or not (e[f"max_{col}"] < lo or e[f"min_{col}"] > hi)
         ]
         if not keep:
             df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
@@ -276,9 +280,17 @@ class Table:
         w.write.mode("overwrite").parquet(staging)
         return self._promote_staging(staging, job_id)
 
+    def mark_job_active(self, job_id: str) -> None:
+        """Create the job's lineage dir before any file lands in data/ —
+        orphan GC treats files of a job with a live lineage dir and no
+        committing snapshot as in-flight, never orphans (the
+        promoted-but-uncommitted window is otherwise a GC race)."""
+        os.makedirs(f"{self.root}/_lineage/{job_id}", exist_ok=True)
+
     def _promote_staging(self, staging: str, job_id: str) -> pa.Table:
         # per-file stats: one distributed agg over the staged files
         stats = self._file_stats_df(self.spark.read.parquet(staging)).collect()
+        self.mark_job_active(job_id)
         os.makedirs(self.data_dir, exist_ok=True)
         entries = []
         for i, r in enumerate(sorted(stats, key=lambda r: r["file_path"])):
@@ -343,7 +355,9 @@ class Table:
 
         for _ in range(max_retries):
             current = self.current_snapshot()
-            if current is not None and base is not None and current.snapshot_id != base.snapshot_id:
+            if current is not None and (
+                base is None or current.snapshot_id != base.snapshot_id
+            ):
                 # someone committed since we planned: validate inputs survive
                 cur_files = set(self.live_files(current))
                 if input_paths - cur_files:
@@ -378,7 +392,11 @@ class Table:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                base = self.current_snapshot()  # lost the race → rebase loop
+                # Lost the race. Do NOT fast-forward base here: the next
+                # iteration must see current != base so the input_paths
+                # validation runs against the winner's live set (a
+                # compaction losing to a merge that removed its inputs
+                # must raise CommitConflict, not commit stale rows).
                 continue
             with os.fdopen(fd, "w") as f:
                 f.write(snap.to_json())

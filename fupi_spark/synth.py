@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from .audio import _splitmix64, encode_clip
+from .audio import _splitmix64, encode_clip, encode_clips_batch
 from .schema import CLIPS_SCHEMA
 
 SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000])
@@ -103,13 +103,14 @@ def synth_clips(
         for pdf in it:
             ids = pdf["id"].to_numpy()
             params = clip_row_params(ids, seed, hot_pct, dur_range_ms)
-            # payload synth: per-clip numpy-vectorized over samples
-            params["bytes"] = [
-                encode_clip(c, int(s), int(d), k)
-                for c, s, d, k in zip(
-                    params["clip_id"], params["sr_hz"], params["dur_ms"], params["codec"]
-                )
-            ]
+            # payload synth: waveform math batched across the whole
+            # Arrow batch (bit-identical to per-clip encode_clip)
+            params["bytes"] = encode_clips_batch(
+                params["clip_id"].tolist(),
+                params["sr_hz"].to_numpy(),
+                params["dur_ms"].to_numpy(),
+                params["codec"].tolist(),
+            )
             yield params[[f.name for f in CLIPS_SCHEMA.fields]]
 
     return base.mapInPandas(gen, schema=CLIPS_SCHEMA)
@@ -128,5 +129,5 @@ def synth_clips_pandas(
         for c, s, d, k in zip(
             params["clip_id"], params["sr_hz"], params["dur_ms"], params["codec"]
         )
-    ]
+    ]  # deliberately per-clip: the oracle twin must not share the batched path
     return params[[f.name for f in CLIPS_SCHEMA.fields]]
