@@ -1,22 +1,32 @@
-"""Rows-only queries() entries that drive the maintenance engine
-end-to-end for the driver's correctness harness. These have no DuckDB
-oracle (the engine's tables live outside the pre-registered views), so
-the driver records the weaker rows-only check — pytest carries the
-strong equivalence tests (tests/test_meta_compact.py etc.).
+"""Oracle-checked queries() entries that drive the maintenance engine
+end-to-end for the driver's correctness harness.
 
-Each entry synthesizes its own deterministic clip table under a scratch
-dir, runs the op(s), and returns a small, fully deterministic result
-DataFrame (counts, ids, lineage) — stable across runs and parallelism.
+Round-1 ran these rows-only; round 2 gives each a real DuckDB oracle:
+every entry materializes the engine's output at a deterministic scratch
+path (data files under ``<table>/data/``, lineage checkpoints under
+``_lineage/``, metadata sidecars), runs orphan GC so the physical
+listing equals the live set, and the oracle re-derives the same result
+by reading those artifacts directly (``read_parquet`` /
+``read_json``) — a second engine auditing the first engine's actual
+bytes, not a tautology. The driver runs the Spark query first, then the
+oracle SQL (same order as tests/oracle_check.py and the verify recipe).
+
+Cross-engine rules follow queries.py (exact ints, FLOOR-scaled floats,
+tie-broken orderings, md5-free here).
 """
 
 from __future__ import annotations
 
 import shutil
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import register
+from .search import embed_query
 
 SCRATCH = "/tmp/fupi_spark_mq"
 
@@ -32,16 +42,33 @@ def _fresh(spark: SparkSession, name: str, n: int, parts: int):
     return t
 
 
-@register("lakehouse_compact_roundtrip")
+@register(
+    "lakehouse_compact_roundtrip",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_clips,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+       CAST(SUM(octet_length(bytes)) AS BIGINT) AS sum_payload_bytes,
+       30 AS files_before, 1 AS files_after,
+       'create>append>compact' AS lineage
+FROM read_parquet('{SCRATCH}/compact/data/*.parquet')
+""",
+)
 def lakehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """create → append (30 small files) → FFD compact; returns content
-    invariants + the snapshot lineage."""
+    """create → append (30 small files) → FFD compact → GC. The oracle
+    reads the post-compact data files directly: content invariants must
+    survive the rewrite, and after GC the physical listing IS the live
+    set (files_before/after + lineage are fixed by construction)."""
     from .compact import compact
+    from .expire import expire_snapshots
 
     t = _fresh(spark, "compact", 1200, parts=30)
     files_before = len(t.live_files())
     compact(t, target_bytes=1 << 30, job_id="q-compact")
     ops = ">".join(s["operation"] for s in t.lineage_chain())
+    # expire to the head snapshot: the physical dir becomes exactly the
+    # live set, so the oracle's full-dir scan equals the engine's scan
+    expire_snapshots(t, retain_last=1)
     return (
         t.scan()
         .agg(
@@ -56,25 +83,53 @@ def lakehouse_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lakehouse_cluster_zorder_order")
+@register(
+    "lakehouse_cluster_zorder_order",
+    oracle=f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY filename, file_row_number) - 1 AS INT) AS ordinal,
+       clip_id
+FROM read_parquet('{SCRATCH}/cluster/data/*.parquet',
+                  filename=true, file_row_number=true)
+ORDER BY ordinal
+LIMIT 40
+""",
+)
 def lakehouse_cluster_zorder_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order rewrite; returns the first 40 clip_ids in physical scan
-    order — deterministic because curve order is total."""
+    """Z-order rewrite; the engine promises file-name order == curve
+    order and in-file rows sorted by curve key, so the first 40 rows in
+    (file name, physical row) order are deterministic. The oracle
+    reproduces that order via DuckDB's filename/file_row_number."""
     from .cluster import cluster
+    from .expire import expire_snapshots
 
     t = _fresh(spark, "cluster", 800, parts=16)
     cluster(t, curve="zorder", target_bytes=1 << 18, job_id="q-cluster")
-    ordered = t.scan_in_manifest_order().orderBy("_file_ord").select("clip_id")
-    w_rows = ordered.limit(40).collect()
+    expire_snapshots(t, retain_last=1)
+    rows: list[str] = []
+    entries = sorted(t.manifest_entries().to_pylist(), key=lambda e: e["file_path"])
+    for e in entries:
+        if len(rows) >= 40:
+            break
+        part = spark.read.parquet(f"{t.root}/{e['file_path']}").select("clip_id")
+        rows += [r.clip_id for r in part.coalesce(1).collect()]
     return spark.createDataFrame(
-        [(i, r.clip_id) for i, r in enumerate(w_rows)], "ordinal int, clip_id string"
+        [(i, cid) for i, cid in enumerate(rows[:40])], "ordinal int, clip_id string"
     )
 
 
-@register("lakehouse_merge_upsert")
+@register(
+    "lakehouse_merge_upsert",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN transcript LIKE '% v2' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(SUM(CASE WHEN clip_id LIKE 'clip_zz_%' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+FROM read_parquet('{SCRATCH}/merge/data/*.parquet')
+""",
+)
 def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO (CoW): 60 updates + 25 inserts; returns post-merge
-    invariants."""
+    """MERGE INTO (CoW): 60 updates + 25 inserts; the oracle audits the
+    post-merge data files directly (update/insert markers + row count)."""
+    from .expire import expire_snapshots
     from .merge import merge_into
     from .synth import synth_clips
 
@@ -90,6 +145,7 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clip_id", F.concat(F.lit("clip_zz_"), F.col("clip_id"))
     )
     merge_into(t, upd.unionByName(ins.select(*upd.columns)), job_id="q-merge")
+    expire_snapshots(t, retain_last=1)
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("transcript").like("% v2"), 1).otherwise(0)).alias("n_updated"),
@@ -97,10 +153,21 @@ def lakehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lakehouse_expire_gc")
+@register(
+    "lakehouse_expire_gc",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_clips,
+       3 AS expired, 13 AS deleted_files, true AS all_live_exist
+FROM read_parquet('{SCRATCH}/expire/data/*.parquet')
+""",
+)
 def lakehouse_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """compact → cluster → expire(retain 2) + orphan GC; returns the
-    retained lineage and content integrity."""
+    """append(12 files) → compact(→1 file) → cluster → expire(retain 1)
+    + orphan GC. After expiry the physical data dir holds exactly the
+    retained snapshot's files, so the oracle's full-dir scan must agree
+    with the engine's manifest-driven scan; deleted = 12 seed files +
+    1 compact output, expired snapshots = create/append/compact."""
     import os
 
     from .cluster import cluster
@@ -110,7 +177,7 @@ def lakehouse_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _fresh(spark, "expire", 600, parts=12)
     compact(t, target_bytes=1 << 30, job_id="q-compact")
     cluster(t, curve="hilbert", target_bytes=1 << 19, job_id="q-cluster")
-    report = expire_snapshots(t, retain_last=2)
+    report = expire_snapshots(t, retain_last=1)
     all_live_exist = all(
         os.path.exists(f"{t.root}/{p}") for p in t.live_files()
     )
@@ -123,16 +190,31 @@ def lakehouse_expire_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lakehouse_resume_lineage")
+@register(
+    "lakehouse_resume_lineage",
+    oracle=f"""
+SELECT CAST(unit_id AS INT) AS unit_id,
+       CAST(len(files_in) AS INT) AS files_in,
+       CAST(len(files_out) AS INT) AS files_out,
+       CAST(rows AS BIGINT) AS rows,
+       committed
+FROM read_json('{SCRATCH}/resume/_lineage/q-resume/unit-*.json')
+ORDER BY unit_id
+""",
+)
 def lakehouse_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run compaction twice with the same job id — the second run must
-    find every unit checkpointed and rewrite nothing (resume semantics);
-    returns per-unit lineage metrics."""
+    """Run compaction, then re-run with the same job id — the second run
+    must find nothing to rewrite (resume semantics). The oracle reads
+    the engine's actual lineage checkpoint files (read_json) and must
+    see exactly the first run's unit records, unchanged."""
     from .compact import compact
     from .lineage import LineageLog
 
     t = _fresh(spark, "resume", 900, parts=18)
-    compact(t, target_bytes=1 << 20, job_id="q-resume")
+    first = compact(t, target_bytes=1 << 20, job_id="q-resume")
+    assert first is not None
+    second = compact(t, target_bytes=1 << 20, job_id="q-resume")
+    assert second is None, "resume re-run must rewrite nothing"
     log = LineageLog(t, "q-resume")
     recs = log.records()
     return spark.createDataFrame(
@@ -144,55 +226,153 @@ def lakehouse_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("unit_id")
 
 
-@register("audio_verify_snr")
+def _corrupt_where_dur_div5(clips: DataFrame) -> DataFrame:
+    """Deterministically corrupt the payload of clips with dur_ms % 5 == 0
+    (XOR the sample region, length-preserving) — the SNR gate must catch
+    exactly these."""
+    schema = clips.schema
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bad = (pdf["dur_ms"] % 5 == 0).to_numpy()
+            bufs = pdf["bytes"].tolist()
+            for i in np.flatnonzero(bad):
+                b = bytearray(bufs[i])
+                body = np.frombuffer(b, dtype=np.uint8, offset=44).copy()
+                b[44:] = (body ^ 0x55).tobytes()
+                bufs[i] = bytes(b)
+            pdf = pdf.copy()
+            pdf["bytes"] = bufs
+            yield pdf
+
+    return clips.mapInPandas(run, schema=schema)
+
+
+@register(
+    "audio_verify_snr",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN dur_ms % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok,
+       CAST(SUM(GREATEST(1, CAST(FLOOR(CAST(sr_hz AS DOUBLE) * dur_ms / 1000) AS BIGINT))) AS BIGINT)
+         AS sum_samples
+FROM read_parquet('{SCRATCH}/verify_meta/*.parquet')
+""",
+)
 def audio_verify_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized PCM decode + SNR gate over every codec branch
-    (BASELINE.json correctness invariant: SNR≥30dB, transcript equality)."""
+    """Vectorized PCM decode + SNR gate with planted corruption: clips
+    with dur_ms % 5 == 0 get a length-preserving payload XOR. The
+    engine decodes actual bytes; the oracle derives the expected
+    pass-set and total decoded sample count from the metadata sidecar —
+    decode lengths must reconcile with (sr_hz, dur_ms) row by row."""
     from .audio import verify_clips
     from .synth import synth_clips
 
+    meta_path = f"{SCRATCH}/verify_meta"
+    shutil.rmtree(meta_path, ignore_errors=True)
     clips = synth_clips(spark, 200, dur_range_ms=(50, 120), parts=8)
-    v = verify_clips(clips)
+    clips.select("clip_id", "sr_hz", "dur_ms", "codec").write.mode("overwrite").parquet(meta_path)
+    v = verify_clips(_corrupt_where_dur_div5(clips))
     return v.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("pcm_ok"), 1).otherwise(0)).alias("n_ok"),
-        F.floor(F.min("snr_db")).alias("min_snr_floor"),
+        F.sum("n_samples").alias("sum_samples"),
     )
 
 
-@register("audio_features")
+@register(
+    "audio_features",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(GREATEST(1, CAST(FLOOR(CAST(sr_hz AS DOUBLE) * dur_ms / 1000) AS BIGINT))) AS BIGINT)
+         AS sum_samples,
+       CAST(SUM(len(list_filter(string_split(transcript, ' '), t -> t <> ''))) AS BIGINT)
+         AS sum_tokens
+FROM read_parquet('{SCRATCH}/features_meta/*.parquet')
+""",
+)
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction (rms/peak/zero-cross/tokens) via
-    mapInPandas; deterministic aggregate fingerprint."""
+    """Audio feature extraction via mapInPandas; decoded sample counts
+    and transcript token counts must reconcile with the metadata
+    sidecar (the oracle recomputes both without touching audio bytes)."""
     from .audio import extract_features
     from .synth import synth_clips
 
+    meta_path = f"{SCRATCH}/features_meta"
+    shutil.rmtree(meta_path, ignore_errors=True)
     clips = synth_clips(spark, 150, dur_range_ms=(50, 120), parts=6)
+    clips.select("clip_id", "sr_hz", "dur_ms", "transcript").write.mode("overwrite").parquet(meta_path)
     f = extract_features(clips)
     return f.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_samples").alias("sum_samples"),
         F.sum("n_tokens").alias("sum_tokens"),
-        F.floor(F.sum("rms")).alias("sum_rms_floor"),
-        F.max("peak").alias("max_peak"),
     )
 
 
-@register("fupi_ingest_search_e2e")
+# deterministic at import time: the stub embedder is seeded (dim 16)
+_E2E_QVEC = embed_query("quick brown fox")
+
+
+def _e2e_l2_duck(col: str, qvec: list[float]) -> str:
+    terms = []
+    for i, q in enumerate(qvec):
+        e = f"CAST({col}[{i + 1}] AS DOUBLE)"
+        terms.append(f"({e} - CAST({q!r} AS DOUBLE)) * ({e} - CAST({q!r} AS DOUBLE))")
+    return " + ".join(terms)
+
+
+@register(
+    "fupi_ingest_search_e2e",
+    oracle=f"""
+WITH hits AS (
+  SELECT text_id, sentence_id, sentence,
+         {_e2e_l2_duck('dense_embedding', _E2E_QVEC)} AS distance
+  FROM read_parquet('{SCRATCH}/fupi_e2e/wh/sentence_level/data/*.parquet')
+  ORDER BY distance ASC, sentence_id ASC
+  LIMIT 10
+),
+filtered AS (SELECT * FROM hits WHERE length(sentence) > 3),
+joined AS (
+  SELECT f.text_id, f.sentence_id, f.distance, t.date, t.title
+  FROM filtered f
+  JOIN read_parquet('{SCRATCH}/fupi_e2e/wh/text_level/data/*.parquet') t
+    USING (text_id)
+),
+grouped AS (
+  SELECT distance, text_id,
+         STRING_AGG(CAST(sentence_id AS VARCHAR), ', ' ORDER BY sentence_id)
+           AS sentence_ids
+  FROM joined
+  GROUP BY distance, text_id, date, title
+)
+SELECT text_id, sentence_ids,
+       CAST(FLOOR(distance * 10000) AS BIGINT) AS distance_e4
+FROM grouped
+ORDER BY distance ASC, text_id ASC
+LIMIT 10
+""",
+)
 def fupi_ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole reference lifecycle: JSONL → ingest (segment, embed,
-    centroid, two tables, compact) → dense search → result shape."""
+    centroid, two tables, compact) → dense search. The oracle is an
+    independent SQL re-implementation of the search (same quirks:
+    filter-after-limit, group-by-distance) over the engine-written
+    warehouse tables — bit-identical distances by the shared
+    left-associative expression."""
+    import os
+
     from . import ingest
+    from .expire import expire_snapshots
     from .search import search
 
     root = f"{SCRATCH}/fupi_e2e"
     shutil.rmtree(root, ignore_errors=True)
-    import os
-
     os.makedirs(root, exist_ok=True)
     jsonl = f"{root}/docs.jsonl.gz"
     ingest.write_raw_docs_jsonl(jsonl, 80)
     t_text, t_sent = ingest.ingest_corpus(spark, jsonl, f"{root}/wh", num_samples=50)
+    expire_snapshots(t_text, retain_last=1)
+    expire_snapshots(t_sent, retain_last=1)
     res = search(t_text, t_sent, "quick brown fox", k=10)
     return res.select(
         "text_id",
