@@ -58,6 +58,11 @@ def build_spark(cores: int):
             # multi-tenant cluster)
             "spark.speculation": "true",
             "spark.speculation.multiplier": "2",
+            # shuffle/broadcast artifacts are only reclaimed when the
+            # driver GCs (ContextCleaner default: every 30 min) — a
+            # multi-stage pipeline in one session otherwise accumulates
+            # RAM-backed shuffle dirs and degrades run-over-run
+            "spark.cleaner.periodicGC.interval": "15s",
         },
     )
 
@@ -162,6 +167,12 @@ def run_maintenance(spark, workdir: str, n_clips: int) -> dict:
         "table_gb": round(table_bytes / 1e9, 4),
         "updated_rows_bad_snr": bad,
         "total_sec": round(total, 3),
+        # plain end-to-end reading: one table-size worth of data through
+        # the whole six-stage pipeline
+        "pipeline_gb_per_s": round(table_bytes / 1e9 / total, 4),
+        "pipeline_clips_per_s": round(n_clips / total, 1),
+        # rewrite-throughput accounting (compact+cluster+merge each
+        # rewrite the table: bytes moved = 2x table per rewrite stage)
         "maintenance_gb_per_s": round(2 * table_bytes / 1e9 / rewrite_sec, 4),
         "clips_per_s": round(n_clips * 3 / rewrite_sec, 1),  # 3 rewrites of the table
     }

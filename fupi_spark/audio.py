@@ -36,6 +36,12 @@ from pyspark.sql import types as T
 
 FAKE_MAGIC = b"FAKE"
 
+# vectorized batch functions bound their working set to this many
+# samples per block (~12 MB of float64) — big enough to amortize numpy
+# call overhead, small enough to stay cache/allocator-friendly when 32
+# workers run side by side
+_BLOCK_SAMPLES = 1_500_000
+
 
 # ---------------------------------------------------------------------------
 # container encode/decode (numpy-only, deterministic)
@@ -169,20 +175,36 @@ def synth_pcm_concat(
     offs = np.zeros(n_clips + 1, np.int64)
     np.cumsum(n, out=offs[1:])
     total = int(offs[-1])
-    rep = np.repeat(np.arange(n_clips), n)
-    t = (np.arange(total, dtype=np.float64) - offs[:-1][rep]) / sr.astype(np.float64)[rep]
-
     n_tones = 2 + (streams[:, 0] % np.uint64(3)).astype(np.int64)
-    sig = np.zeros(total)
-    for k in range(4):
-        freq = 80.0 + (streams[:, 1 + k] % np.uint64(4000)).astype(np.float64)
-        phase = (streams[:, 5 + k] % np.uint64(1000)).astype(np.float64) / 1000.0 * 2 * np.pi
-        amp = 0.15 + 0.1 * (streams[:, 9 + k] % np.uint64(100)).astype(np.float64) / 100.0
-        amp = np.where(k < n_tones, amp, 0.0)
-        sig += amp[rep] * np.sin(2 * np.pi * freq[rep] * t + phase[rep])
-    noise_f = 3500.0 + (streams[:, 13] % np.uint64(500)).astype(np.float64)
-    sig += 0.003 * np.sin(2 * np.pi * noise_f[rep] * t)
-    pcm = np.clip(sig * 32767 / 4, -32768, 32767).astype(np.int16)
+
+    # process in sample-bounded row blocks: unbounded concatenation made
+    # every temporary a few-hundred-MB fresh allocation, and this host
+    # serializes fresh-page faults across workers (measured 3-5x slower
+    # at 32 workers); ~1.5M samples keeps temporaries ~12 MB
+    pcm = np.empty(total, np.int16)
+    i0 = 0
+    while i0 < n_clips:
+        i1 = i0 + 1
+        while i1 < n_clips and offs[i1 + 1] - offs[i0] <= _BLOCK_SAMPLES:
+            i1 += 1
+        b_n = n[i0:i1]
+        b_offs = offs[i0 : i1 + 1] - offs[i0]
+        b_total = int(b_offs[-1])
+        rep = np.repeat(np.arange(i1 - i0), b_n)
+        t = (np.arange(b_total, dtype=np.float64) - b_offs[:-1][rep]) / sr[
+            i0:i1
+        ].astype(np.float64)[rep]
+        sig = np.zeros(b_total)
+        for k in range(4):
+            freq = 80.0 + (streams[i0:i1, 1 + k] % np.uint64(4000)).astype(np.float64)
+            phase = (streams[i0:i1, 5 + k] % np.uint64(1000)).astype(np.float64) / 1000.0 * 2 * np.pi
+            amp = 0.15 + 0.1 * (streams[i0:i1, 9 + k] % np.uint64(100)).astype(np.float64) / 100.0
+            amp = np.where(k < n_tones[i0:i1], amp, 0.0)
+            sig += amp[rep] * np.sin(2 * np.pi * freq[rep] * t + phase[rep])
+        noise_f = 3500.0 + (streams[i0:i1, 13] % np.uint64(500)).astype(np.float64)
+        sig += 0.003 * np.sin(2 * np.pi * noise_f[rep] * t)
+        pcm[offs[i0] : offs[i1]] = np.clip(sig * 32767 / 4, -32768, 32767).astype(np.int16)
+        i0 = i1
     return pcm, n, offs
 
 
@@ -210,6 +232,21 @@ def _segment_sums(x: np.ndarray, offs: np.ndarray) -> np.ndarray:
     return cs[offs[1:]] - cs[offs[:-1]]
 
 
+def _row_chunks(pdf: pd.DataFrame, max_payload_bytes: int) -> Iterator[pd.DataFrame]:
+    """Split an Arrow batch into row chunks whose summed payload stays
+    under ``max_payload_bytes`` — bounds every temporary in the
+    vectorized kernels regardless of clip durations."""
+    sizes = np.array([len(b) for b in pdf["bytes"]], np.int64)
+    cum = np.cumsum(sizes)
+    start = 0
+    while start < len(pdf):
+        base = cum[start - 1] if start else 0
+        end = int(np.searchsorted(cum, base + max_payload_bytes, side="left")) + 1
+        end = max(end, start + 1)
+        yield pdf.iloc[start:end]
+        start = end
+
+
 # ---------------------------------------------------------------------------
 # vectorized verification / feature-extraction operators (mapInPandas)
 # ---------------------------------------------------------------------------
@@ -225,57 +262,65 @@ VERIFY_SCHEMA = T.StructType(
 
 
 def _verify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fully vectorized over the Arrow batch: reference re-synthesis is
-    one batched synth_pcm_concat call; error/signal powers are segment
-    sums over the concatenated sample arrays — no per-clip numpy calls
-    in the hot path (decode itself is a cheap frombuffer per clip)."""
-    for pdf in it:
-        n_rows = len(pdf)
-        if n_rows == 0:
+    """Vectorized across rows in sample-bounded blocks: reference
+    re-synthesis is one synth_pcm_concat call per block; error/signal
+    powers are segment sums over the concatenated sample arrays — no
+    per-clip numpy calls in the hot path (decode itself is a cheap
+    frombuffer per clip). Blocks are bounded by payload size
+    (2 bytes/sample → 2x the _BLOCK_SAMPLES budget) so temporaries stay
+    ~12 MB however long the clips are."""
+    for full in it:
+        if len(full) == 0:
             yield pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in VERIFY_SCHEMA.fields}
             )
             continue
-        cids = pdf["clip_id"].tolist()
-        srs = pdf["sr_hz"].to_numpy().astype(np.int64)
-        durs = pdf["dur_ms"].to_numpy().astype(np.int64)
-        ref, n_ref, offs_ref = synth_pcm_concat(cids, srs, durs)
-        decs = [_decode_one(b, c) for b, c in zip(pdf["bytes"], pdf["codec"])]
-        n_dec = np.array([len(d) for d in decs], np.int64)
-        m = np.minimum(n_dec, n_ref)
-        moffs = np.zeros(n_rows + 1, np.int64)
-        np.cumsum(m, out=moffs[1:])
-        dec_cat = (
-            np.concatenate([d[:k] for d, k in zip(decs, m)]).astype(np.float64)
-            if moffs[-1]
-            else np.empty(0)
+        for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+            yield _verify_chunk(pdf)
+
+
+def _verify_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    n_rows = len(pdf)
+    cids = pdf["clip_id"].tolist()
+    srs = pdf["sr_hz"].to_numpy().astype(np.int64)
+    durs = pdf["dur_ms"].to_numpy().astype(np.int64)
+    ref, n_ref, offs_ref = synth_pcm_concat(cids, srs, durs)
+    decs = [_decode_one(b, c) for b, c in zip(pdf["bytes"], pdf["codec"])]
+    n_dec = np.array([len(d) for d in decs], np.int64)
+    m = np.minimum(n_dec, n_ref)
+    moffs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(m, out=moffs[1:])
+    dec_cat = (
+        np.concatenate([d[:k] for d, k in zip(decs, m)]).astype(np.float64)
+        if moffs[-1]
+        else np.empty(0)
+    )
+    ref_cat = (
+        np.concatenate(
+            [ref[o : o + k] for o, k in zip(offs_ref[:-1], m)]
+        ).astype(np.float64)
+        if moffs[-1]
+        else np.empty(0)
+    )
+    err = dec_cat - ref_cat
+    p_sig = _segment_sums(ref_cat**2, moffs)
+    p_err = _segment_sums(err**2, moffs)
+    with np.errstate(divide="ignore"):
+        snr = np.where(
+            p_err == 0.0,
+            np.inf,
+            10.0 * np.log10(p_sig / np.where(p_err == 0.0, 1.0, p_err)),
         )
-        ref_cat = (
-            np.concatenate(
-                [ref[o : o + k] for o, k in zip(offs_ref[:-1], m)]
-            ).astype(np.float64)
-            if moffs[-1]
-            else np.empty(0)
-        )
-        err = dec_cat - ref_cat
-        p_sig = _segment_sums(ref_cat**2, moffs)
-        p_err = _segment_sums(err**2, moffs)
-        with np.errstate(divide="ignore"):
-            snr = np.where(
-                p_err == 0.0,
-                np.inf,
-                10.0 * np.log10(p_sig / np.where(p_err == 0.0, 1.0, p_err)),
-            )
-        snr = np.minimum(snr, 999.0)
-        ok = (n_dec == n_ref) & (snr >= 30.0)
-        yield pd.DataFrame(
-            {
-                "clip_id": cids,
-                "n_samples": n_dec,
-                "snr_db": snr,
-                "pcm_ok": ok,
-            }
-        )
+    snr = np.minimum(snr, 999.0)
+    ok = (n_dec == n_ref) & (snr >= 30.0)
+    return pd.DataFrame(
+        {
+            "clip_id": cids,
+            "n_samples": n_dec,
+            "snr_db": snr,
+            "pcm_ok": ok,
+        }
+    )
 
 
 def verify_clips(clips: DataFrame) -> DataFrame:
@@ -300,61 +345,67 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Vectorized across rows: per-batch concatenated decode + segment
-    reductions (sumsq → rms, running max → peak, sign-change counts →
-    zero-cross) instead of per-clip numpy calls."""
-    for pdf in it:
-        n_rows = len(pdf)
-        if n_rows == 0:
+    """Vectorized across rows in sample-bounded blocks (_BLOCK_SAMPLES):
+    concatenated decode + segment reductions (sumsq → rms, running max
+    → peak, sign-change counts → zero-cross) instead of per-clip numpy
+    calls."""
+    for full in it:
+        if len(full) == 0:
             yield pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in FEATURES_SCHEMA.fields}
             )
             continue
-        decs = [_decode_one(b, c) for b, c in zip(pdf["bytes"], pdf["codec"])]
-        n = np.array([len(d) for d in decs], np.int64)
-        offs = np.zeros(n_rows + 1, np.int64)
-        np.cumsum(n, out=offs[1:])
-        cat = (
-            np.concatenate(decs).astype(np.float64) if offs[-1] else np.empty(0)
-        )
-        sumsq = _segment_sums(cat**2, offs)
-        rms = np.where(n > 0, np.sqrt(sumsq / np.maximum(n, 1)), 0.0)
-        # peak: cummax trick — running max within segments via global
-        # maximum.reduceat is unsafe on empty segments; use a masked
-        # approach: abs values, then per-segment max via sort-free
-        # reduceat guarded by n>0 (offsets strictly increasing there)
-        abs_cat = np.abs(cat)
-        peak = np.zeros(n_rows, np.int64)
-        nz = n > 0
-        if nz.any():
-            starts = offs[:-1][nz]
-            peak[nz] = np.maximum.reduceat(abs_cat, starts).astype(np.int64) if len(
-                abs_cat
-            ) else 0
-        # zero-cross: sign changes within each clip (diffs never cross
-        # clip boundaries: sum d over [o_i, o_i + n_i - 2])
-        if len(cat) > 1:
-            d = np.abs(np.diff(np.signbit(cat).astype(np.int8))).astype(np.float64)
-            cs = np.zeros(len(d) + 1)
-            np.cumsum(d, out=cs[1:])
-            hi = np.maximum(offs[1:] - 1, offs[:-1])
-            seg_d = cs[hi] - cs[offs[:-1]]
-        else:
-            seg_d = np.zeros(n_rows)
-        zcr = np.where(n > 1, seg_d / np.maximum(n - 1, 1), 0.0)
-        n_tokens = [
-            sum(1 for t in tr.split(" ") if t) for tr in pdf["transcript"]
-        ]
-        yield pd.DataFrame(
-            {
-                "clip_id": pdf["clip_id"].tolist(),
-                "n_samples": n,
-                "rms": rms,
-                "peak": peak.astype(np.int32),
-                "zero_cross_rate": zcr,
-                "n_tokens": np.array(n_tokens, np.int32),
-            }
-        )
+        for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+            yield _feature_chunk(pdf)
+
+
+def _feature_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    n_rows = len(pdf)
+    decs = [_decode_one(b, c) for b, c in zip(pdf["bytes"], pdf["codec"])]
+    n = np.array([len(d) for d in decs], np.int64)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(n, out=offs[1:])
+    cat = (
+        np.concatenate(decs).astype(np.float64) if offs[-1] else np.empty(0)
+    )
+    sumsq = _segment_sums(cat**2, offs)
+    rms = np.where(n > 0, np.sqrt(sumsq / np.maximum(n, 1)), 0.0)
+    # peak: cummax trick — running max within segments via global
+    # maximum.reduceat is unsafe on empty segments; use a masked
+    # approach: abs values, then per-segment max via sort-free
+    # reduceat guarded by n>0 (offsets strictly increasing there)
+    abs_cat = np.abs(cat)
+    peak = np.zeros(n_rows, np.int64)
+    nz = n > 0
+    if nz.any():
+        starts = offs[:-1][nz]
+        peak[nz] = np.maximum.reduceat(abs_cat, starts).astype(np.int64) if len(
+            abs_cat
+        ) else 0
+    # zero-cross: sign changes within each clip (diffs never cross
+    # clip boundaries: sum d over [o_i, o_i + n_i - 2])
+    if len(cat) > 1:
+        d = np.abs(np.diff(np.signbit(cat).astype(np.int8))).astype(np.float64)
+        cs = np.zeros(len(d) + 1)
+        np.cumsum(d, out=cs[1:])
+        hi = np.maximum(offs[1:] - 1, offs[:-1])
+        seg_d = cs[hi] - cs[offs[:-1]]
+    else:
+        seg_d = np.zeros(n_rows)
+    zcr = np.where(n > 1, seg_d / np.maximum(n - 1, 1), 0.0)
+    n_tokens = [
+        sum(1 for t in tr.split(" ") if t) for tr in pdf["transcript"]
+    ]
+    return pd.DataFrame(
+        {
+            "clip_id": pdf["clip_id"].tolist(),
+            "n_samples": n,
+            "rms": rms,
+            "peak": peak.astype(np.int32),
+            "zero_cross_rate": zcr,
+            "n_tokens": np.array(n_tokens, np.int32),
+        }
+    )
 
 
 def extract_features(clips: DataFrame) -> DataFrame:

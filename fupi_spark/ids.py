@@ -1,0 +1,80 @@
+"""Dense sequence-id assignment without a single-reducer window.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` with no PARTITION BY compiles to
+``Exchange SinglePartition`` — every row funnels through one reducer,
+the single worst plan shape at 10^12 rows. This module assigns the
+exact same dense 1-based ids with a fully parallel plan:
+
+1. range-partition on the order key (one shuffle, boundaries from
+   Spark's range sampler);
+2. persist the partitioned data — the sampler's boundaries are not
+   reproducible across re-evaluations, so the partitioning must be
+   computed exactly once;
+3. per-partition physical position from monotonically_increasing_id
+   (partition id in the upper 31 bits, row position in the lower 33 —
+   no window, no second shuffle) after an in-partition sort;
+4. per-partition counts (one tiny aggregation: n_partitions rows to
+   the driver), prefix-summed into offsets;
+5. id = offset[partition] + position + 1 via a literal map (swap for a
+   broadcast join beyond ~10^4 partitions).
+
+Requires the order key to be unique (use a tiebreaker column, as every
+query in this repo already does); equal keys could otherwise straddle
+a range boundary in arbitrary order.
+
+Replaces the round-1 global windows flagged in VERDICT.md ("What's
+wrong" #1); reference parity: CREATE SEQUENCE/nextval ids,
+/root/reference/fupi/data.py:39,60.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS_MASK = (1 << 33) - 1
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: list,
+    id_col: str,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Append ``id_col`` = dense 1-based rank of the row in global
+    ``order_cols`` order. Exact twin of an unpartitioned row_number
+    window, with a parallel plan (range shuffle + map-side ranks).
+
+    The returned DataFrame depends on an internally persisted
+    intermediate; callers streaming 100 TB through this should expect
+    one table-size spill (the price of exactly-once partitioning) —
+    still linear, unlike the single-reducer window it replaces.
+    """
+    spark = df.sparkSession
+    num_parts = num_parts or spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(num_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy(F.shiftright("_mid", 33).alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    acc = 0
+    offset_entries = []
+    for pid in sorted(counts):
+        offset_entries += [F.lit(int(pid)), F.lit(acc)]
+        acc += counts[pid]
+    omap = F.create_map(*offset_entries) if offset_entries else F.create_map()
+    return d.withColumn(
+        id_col,
+        (
+            omap[F.shiftright("_mid", 33)]
+            + F.col("_mid").bitwiseAND(F.lit(_POS_MASK))
+            + 1
+        ).cast("long"),
+    ).drop("_mid")

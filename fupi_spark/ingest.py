@@ -78,8 +78,11 @@ def scan_raw_docs(spark: SparkSession, path: str, num_samples: int = 0) -> DataF
     )
     if num_samples > 0:
         df = df.limit(num_samples)
-    w = W.orderBy("date", "title")  # deterministic dense ids
-    return df.withColumn("text_id", F.row_number().over(w).cast("long"))
+    # deterministic dense ids via the partition-offset scheme (no
+    # single-reducer window; ids.py)
+    from .ids import dense_ids
+
+    return dense_ids(df, ["date", "title"], "text_id")
 
 
 # ---------------------------------------------------------------------------
@@ -100,14 +103,18 @@ def split_sentences(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def segment(texts: DataFrame) -> DataFrame:
     """Explode texts into sentences with a global running sentence_id
     (fupi/data.py:86-100)."""
+    from .ids import dense_ids
+
     sent = texts.select(
         "text_id",
         "date",
         "title",
         F.posexplode(split_sentences(F.col("text"))).alias("pos", "sentence"),
     )
-    w = W.orderBy("text_id", "pos")
-    return sent.withColumn("sentence_id", F.row_number().over(w).cast("long")).drop("pos")
+    # global running sentence_id, partition-offset scheme (the persist
+    # inside dense_ids also stops the range sampler from re-running the
+    # sentence-splitter UDF)
+    return dense_ids(sent, ["text_id", "pos"], "sentence_id").drop("pos")
 
 
 # ---------------------------------------------------------------------------

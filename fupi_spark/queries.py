@@ -246,16 +246,16 @@ ORDER BY text_id
 )
 def ids_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2: dense sequence ids — the reference's CREATE SEQUENCE/nextval
-    (/root/reference/fupi/data.py:39,60) becomes a row_number window.
-    Scale note: a global row_number over one unpartitioned window is a
-    single-reducer bottleneck at 100 TB — there you zip per-partition
-    counts (monotonically_increasing_id or partition-offset windows);
-    kept exact here because ids must be dense."""
-    docs = load(spark, sf_dir, "documents")
-    w = W.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
-    return docs.select("doc_id", F.row_number().over(w).alias("text_id")).orderBy(
-        "text_id"
-    )
+    (/root/reference/fupi/data.py:39,60). Assigned via the
+    partition-offset scheme (ids.dense_ids): range shuffle +
+    per-partition ranks + driver prefix-sum — same ids as a global
+    row_number window, with no Exchange SinglePartition in the plan
+    (asserted in tests/test_plans.py)."""
+    from .ids import dense_ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = dense_ids(docs, [F.col("n_chars").desc(), F.col("doc_id").asc()], "text_id")
+    return out.select("doc_id", "text_id").orderBy("text_id")
 
 
 @register(
@@ -278,17 +278,17 @@ ORDER BY segment_id
 def segment_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8: 1→N segmentation explode with a globally increasing segment id
     (/root/reference/fupi/data.py:86-100: pysbd split + running
-    sentence_id). Spark: split + posexplode + row_number window. The
-    window is ordered by (doc_id, pos) exactly like the reference's
-    running counter over insertion order."""
+    sentence_id). Spark: split + posexplode, then ids.dense_ids over
+    (doc_id, pos) — the reference's running counter over insertion
+    order, without the single-reducer window."""
+    from .ids import dense_ids
+
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token") != "")
-    w = W.orderBy("doc_id", "pos")
-    return toks.select(
-        "doc_id", "pos", "token", F.row_number().over(w).alias("segment_id")
-    ).orderBy("segment_id")
+    out = dense_ids(toks, ["doc_id", "pos"], "segment_id")
+    return out.select("doc_id", "pos", "token", "segment_id").orderBy("segment_id")
 
 
 @register(

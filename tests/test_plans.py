@@ -87,3 +87,33 @@ def test_merge_prune_join_is_metadata_only(spark, tmp_table_dir):
     assert 0 < len(touched) <= 10
     # every touched entry is a manifest row (stats present), no payload
     assert all("min_clip_id" in e and "bytes" not in e for e in touched)
+
+
+def test_dense_ids_no_single_reducer(spark, sf_dir):
+    """Sequence-id assignment must not compile to Exchange
+    SinglePartition (the round-1 global-window plan)."""
+    for name in ("ids_rownumber", "segment_explode"):
+        p = plan_of(Q.QUERIES[name](spark, sf_dir))
+        assert "SinglePartition" not in p, f"{name} funnels through one reducer"
+
+
+def test_dense_ids_matches_global_window(spark, sf_dir):
+    """dense_ids == ROW_NUMBER() OVER (ORDER BY ...) row for row."""
+    from pyspark.sql.window import Window as W
+
+    from fupi_spark.ids import dense_ids
+
+    docs = Q.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    got = {
+        r.doc_id: r.text_id
+        for r in dense_ids(docs, order, "text_id").collect()
+    }
+    w = W.orderBy(*order)
+    want = {
+        r.doc_id: r.text_id
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("text_id")
+        ).collect()
+    }
+    assert got == want
