@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .queries import register, load
+from .queries import QUERY_VEC, _l2_col, _l2_sql, load, register
 
 # ---------------------------------------------------------------------------
 # shared fragments
@@ -233,11 +233,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+JACCARD_DF_CAP = 100  # shingles in more docs than this are stopword-like
+
+
 @register(
     "dedup_jaccard_ngram",
     oracle=f"""
 WITH {_DUCK_SHINGLES},
-ds AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+ds0 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+hot AS (SELECT shingle FROM ds0 GROUP BY shingle HAVING COUNT(*) > {JACCARD_DF_CAP}),
+ds AS (SELECT * FROM ds0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_both
@@ -256,11 +261,23 @@ LIMIT 100
 """,
 )
 def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard via an inverted-index self-join on shingle —
-    pair work ∝ shared shingles (at 100 TB you'd LSH-prefilter first,
-    which is exactly dedup_minhash_lsh)."""
+    """Exact n-gram Jaccard via an inverted-index self-join on shingle.
+    Shingles with document frequency above JACCARD_DF_CAP are dropped
+    from index AND union before the self-join — one stopword 3-gram
+    otherwise makes candidate pairs quadratic in its doc frequency
+    (the 100 TB failure mode; the similarity is then 'Jaccard over
+    discriminative shingles', the standard prefix-filter trade). At
+    100 TB you'd LSH-prefilter first, which is exactly
+    dedup_minhash_lsh."""
     docs = load(spark, sf_dir, "documents")
-    ds = _spark_shingles(docs).distinct()
+    ds0 = _spark_shingles(docs).distinct()
+    hot = (
+        ds0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    ds = ds0.join(hot, "shingle", "left_anti")
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
@@ -349,6 +366,163 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec"),
         )
         .orderBy("bucket")
+    )
+
+
+def _query_bucket(qvec: list[float]) -> int:
+    b = 0
+    for i, p in enumerate(LSH_PLANES):
+        dot = 0.0
+        for x, w in zip(qvec, p):
+            dot += x * float(w)
+        if dot > 0:
+            b |= 1 << i
+    return b
+
+
+def _hamming_probes(bucket: int, radius: int, n_bits: int) -> list[int]:
+    import itertools
+
+    probes = {bucket}
+    for r in range(1, radius + 1):
+        for combo in itertools.combinations(range(n_bits), r):
+            b = bucket
+            for i in combo:
+                b ^= 1 << i
+            probes.add(b)
+    return sorted(probes)
+
+
+_LSH_PROBES = _hamming_probes(_query_bucket(QUERY_VEC), radius=2, n_bits=len(LSH_PLANES))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding,
+         {" + ".join(f"(CASE WHEN {_plane_dot_duck(p)} > 0 THEN {1 << i} ELSE 0 END)" for i, p in enumerate(LSH_PLANES))}
+           AS bucket
+  FROM embeddings
+),
+cands AS (
+  SELECT vec_id, label, bucket,
+         {_l2_sql('embedding', QUERY_VEC, 'duck')} AS distance
+  FROM bucketed
+  WHERE bucket IN ({", ".join(str(b) for b in _LSH_PROBES)})
+)
+SELECT vec_id, label, bucket, ROUND(distance, 6) AS distance_r
+FROM cands
+ORDER BY distance ASC, vec_id ASC
+LIMIT 20
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multi-probe LSH ANN: probe the query's bucket plus its
+    Hamming≤2 neighborhood (37 of 256 buckets — probe set computed once
+    in Python and embedded in both dialects), exact-rerank inside the
+    candidate set. At scale the bucket is a stored, clustered column so
+    the probe is a partition-pruned scan; here it is computed inline.
+
+    Honesty note on recall: the driver's synthetic embeddings are
+    near-uniform unit vectors (measured top-20 L2 29.1 vs median 32.6 at
+    sf0.1 — distance concentration), so ANY sublinear bucketing has low
+    recall on them: measured 0.30 @20 at sf0.1 for ~14% of rows scanned
+    (tests/test_ann.py pins the floor). For guaranteed-recall ANN on
+    structureless data see ann_quantized_rerank below."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    for i, p in enumerate(LSH_PLANES):
+        bucket = bucket + F.when(_plane_dot_spark(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return (
+        emb.withColumn("bucket", bucket)
+        .filter(F.col("bucket").isin(_LSH_PROBES))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            _l2_col("embedding", QUERY_VEC).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", "label", "bucket", F.round("distance", 6).alias("distance_r"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantized-scan + exact-rerank ANN — the guaranteed-recall scale path
+# ---------------------------------------------------------------------------
+
+RERANK_C = 100
+
+
+def _deq_duck(col: str, i: int) -> str:
+    """SQL for dequantize(quantize(embedding[i])) — int8 scalar
+    quantization of unit-norm values into [0,255], identical arithmetic
+    in both engines."""
+    e = f"CAST({col}[{i + 1}] AS DOUBLE)"
+    code = f"LEAST(GREATEST(FLOOR(({e} + 1.0) * 127.5), 0.0), 255.0)"
+    return f"({code} / 127.5 - 1.0)"
+
+
+@register(
+    "ann_quantized_rerank",
+    oracle=f"""
+WITH approx AS (
+  SELECT vec_id,
+         {" + ".join(f"({_deq_duck('embedding', i)} - CAST({q!r} AS DOUBLE)) * ({_deq_duck('embedding', i)} - CAST({q!r} AS DOUBLE))" for i, q in enumerate(QUERY_VEC))}
+           AS approx_d2
+  FROM embeddings
+  ORDER BY approx_d2 ASC, vec_id ASC
+  LIMIT {RERANK_C}
+),
+exact AS (
+  SELECT e.vec_id, e.label,
+         {_l2_sql('e.embedding', QUERY_VEC, 'duck')} AS distance
+  FROM embeddings e
+  JOIN approx a ON a.vec_id = e.vec_id
+)
+SELECT vec_id, label, ROUND(distance, 6) AS distance_r
+FROM exact
+ORDER BY distance ASC, vec_id ASC
+LIMIT 20
+""",
+)
+def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN with guaranteed-quality rerank: stage 1 scans int8
+    scalar-quantized codes (4x less I/O + cheaper math than float32;
+    here quantization is inline — at scale the codes are a stored
+    column) and takes the top-{RERANK_C} by approximate distance
+    (TakeOrderedAndProject, no global sort); stage 2 fetches full
+    vectors for only those rows (broadcast join) and reranks exactly.
+    Measured recall@20 vs brute force: 1.00 at sf0.001/0.01/0.1
+    (asserted ≥0.9 in tests/test_ann.py) — the right ANN for corpora
+    with weak neighborhood structure, where bucketing methods cannot
+    bound recall."""
+    emb = load(spark, sf_dir, "embeddings")
+    qlit = F.array(*[F.lit(float(q)) for q in QUERY_VEC])
+    deq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda v: F.least(F.greatest(F.floor((v + 1.0) * 127.5), F.lit(0.0)), F.lit(255.0))
+        / 127.5
+        - 1.0,
+    )
+    approx_d2 = F.aggregate(
+        F.zip_with(deq, qlit, lambda x, q: (x - q) * (x - q)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    approx = (
+        emb.select("vec_id", approx_d2.alias("approx_d2"))
+        .orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())
+        .limit(RERANK_C)
+    )
+    return (
+        emb.join(F.broadcast(approx.select("vec_id")), "vec_id")
+        .select("vec_id", "label", _l2_col("embedding", QUERY_VEC).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .select("vec_id", "label", F.round("distance", 6).alias("distance_r"))
+        .limit(20)
     )
 
 

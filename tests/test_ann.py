@@ -1,0 +1,92 @@
+"""ANN quality gates: measured recall vs brute force, candidate-set
+sublinearity, and the Jaccard hot-shingle cap."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from fupi_spark import pipeline_queries as P
+from fupi_spark import queries as Q
+
+
+def _brute_top20(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    d2 = ((m - np.array(Q.QUERY_VEC)) ** 2).sum(axis=1)
+    return set(ids[np.lexsort((ids, d2))[:20]]), len(ids)
+
+
+def test_quantized_rerank_recall(spark, sf_dir):
+    true20, _n = _brute_top20(sf_dir)
+    got = {r.vec_id for r in Q.QUERIES["ann_quantized_rerank"](spark, sf_dir).collect()}
+    recall = len(true20 & got) / 20
+    assert recall >= 0.9, f"quantized rerank recall {recall}"
+
+
+def test_lsh_topk_sublinear_and_floor(spark, sf_dir):
+    """Multi-probe LSH must scan a sublinear candidate set; recall on
+    the structureless synthetic embeddings is low by nature (documented
+    in the query docstring) but must stay above the measured floor."""
+    from pyspark.sql import functions as F
+
+    true20, n = _brute_top20(sf_dir)
+    emb = Q.load(spark, sf_dir, "embeddings")
+    bucket = F.lit(0)
+    for i, p in enumerate(P.LSH_PLANES):
+        bucket = bucket + F.when(P._plane_dot_spark(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    cands = emb.withColumn("bucket", bucket).filter(F.col("bucket").isin(P._LSH_PROBES)).count()
+    assert cands < 0.3 * n, f"candidate set not sublinear: {cands}/{n}"
+
+    got = {r.vec_id for r in Q.QUERIES["ann_lsh_topk"](spark, sf_dir).collect()}
+    # every returned id must be a true candidate-set top hit; recall
+    # floor is intentionally loose (see docstring)
+    assert len(got) == min(20, cands)
+    assert len(true20 & got) / 20 >= 0.05
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A corpus where one shingle appears in every doc must not create
+    quadratic candidate pairs."""
+    from pyspark.sql import functions as F
+
+    n_docs = 300
+    rows = [(i, f"common one two unique{i} alpha{i} beta{i} gamma{i}") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ds0 = P._spark_shingles(docs).distinct()
+    hot = (
+        ds0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > P.JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    ds = ds0.join(hot, "shingle", "left_anti")
+    a, b = ds.alias("a"), ds.alias("b")
+    pairs = a.join(
+        b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).count()
+    # 'common one two' appears in all 300 docs -> 300*299/2 = 44850
+    # pairs without the cap; with it, zero shared shingles remain
+    assert pairs == 0
+
+    # and with the cap disabled the explosion is real (sanity of the test)
+    a0, b0 = ds0.alias("a"), ds0.alias("b")
+    pairs0 = a0.join(
+        b0, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).count()
+    assert pairs0 == n_docs * (n_docs - 1) // 2
+
+
+def test_quantization_roundtrip_bounds():
+    """int8 scalar quantization error is bounded by half a step."""
+    rng = np.random.default_rng(3)
+    v = rng.uniform(-1, 1, 10_000)
+    code = np.clip(np.floor((v + 1) * 127.5), 0, 255)
+    deq = code / 127.5 - 1
+    assert np.abs(deq - v).max() <= 1 / 127.5 + 1e-12
