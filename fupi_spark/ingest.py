@@ -160,6 +160,35 @@ def embed_udf(dim: int = EMB_DIM):
     return embed
 
 
+def colbert_token_vecs(text: str, table: np.ndarray) -> np.ndarray:
+    """Per-token ColBERT vectors (n_tokens, dim) — the stub's analogue
+    of the reference's per-token output matrix
+    (/root/reference/fupi/embedders.py:86-89). Tokens are 'cb:'-salted
+    so the colbert space differs from the dense one."""
+    toks = [t for t in (text or "").split(" ") if t]
+    if not toks:
+        return np.zeros((1, table.shape[1]), np.float32)
+    idx = np.array([hash_token("cb:" + t) % table.shape[0] for t in toks])
+    return table[idx].astype(np.float32)
+
+
+def embed_matrix_udf(dim: int = EMB_DIM):
+    """I10/I11 real shape: ArrayType(ArrayType(Float)) — one vector per
+    token, stored unpooled (the reference keeps the per-token matrix
+    and mean-pools at query time, fupi/embedders.py:86-89 +
+    fupi/utils.py:210)."""
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.FloatType())))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        table = _load_model(dim)
+        for batch in batches:
+            yield pd.Series(
+                [colbert_token_vecs(t, table).tolist() for t in batch]
+            )
+
+    return embed
+
+
 # ---------------------------------------------------------------------------
 # I12-I15: text-level derivation (dedup, centroid UDAF, join)
 # ---------------------------------------------------------------------------
@@ -208,8 +237,9 @@ def ingest_corpus(
     texts = scan_raw_docs(spark, jsonl_path, num_samples)
     sentences = segment(texts)
     emb = embed_udf(dim)
+    emb_m = embed_matrix_udf(dim)
     sentences = sentences.withColumn("dense_embedding", emb(F.col("sentence"))).withColumn(
-        "colbert_embedding", emb(F.concat(F.lit("cb:"), F.col("sentence")))
+        "colbert_embedding", emb_m(F.col("sentence"))  # per-token matrix
     )
     sentences = sentences.select(
         "text_id", "sentence_id", "sentence", "dense_embedding", "colbert_embedding", "date", "title"

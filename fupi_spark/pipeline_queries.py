@@ -449,6 +449,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_sum_duck(j: int) -> str:
+    """Left-fold sum of the j-th coordinate (1-based) across the four
+    16-dim chunks of the 64-dim embedding — textually identical fold
+    order to the Spark nested-array aggregate (0.0 seed, chunk order)."""
+    acc = "0.0"
+    for c in range(4):
+        acc = f"({acc} + CAST(embedding[{16 * c + j}] AS DOUBLE))"
+    return acc
+
+
+@register(
+    "colbert_centroid_reduce",
+    oracle=f"""
+SELECT vec_id,
+       {", ".join(f"CAST(FLOOR({_chunk_sum_duck(j)} / 4.0 * 1000000) AS BIGINT) AS c{j}" for j in range(1, 5))}
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def colbert_centroid_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I11's real shape — mean-pool an array<array<double>> per-token
+    matrix into a centroid with a pure-SQL nested fold (zip_with add
+    over the outer array, one divide per coordinate; no Python). The
+    matrix here is the 64-dim embedding reshaped to 4 x 16 so the oracle
+    can recompute each coordinate as a direct left-assoc sum; the same
+    expression (search._centroid_expr) serves the stored ColBERT
+    column. Reference: per-token matrix mean,
+    /root/reference/fupi/embedders.py:86-89."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    chunks = F.array(*[F.slice(e, 1 + 16 * c, 16) for c in range(4)])
+    summed = F.aggregate(
+        chunks,
+        F.array(*[F.lit(0.0)] * 16),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    cent = F.transform(summed, lambda x: x / F.lit(4.0))
+    return emb.select(
+        "vec_id",
+        *[
+            F.floor(F.element_at(cent, j) * 1000000).alias(f"c{j}")
+            for j in range(1, 5)
+        ],
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # quantized-scan + exact-rerank ANN — the guaranteed-recall scale path
 # ---------------------------------------------------------------------------

@@ -16,26 +16,55 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ingest import EMB_DIM, _embed_tokens, _load_model
+from .ingest import EMB_DIM, _embed_tokens, _load_model, colbert_token_vecs
 from .meta import Table
 
 
 def embed_query(text: str, dim: int = EMB_DIM, colbert: bool = False) -> list[float]:
     """Q1+Q2: driver-side query embedding (single row — the reference
     tokenizes + runs ONNX once per query, searcher.py:244-263; the
-    colbert branch mean-pools per-token vectors, fupi/utils.py:210)."""
+    colbert branch mean-pools the per-token matrix, fupi/utils.py:210 +
+    fupi/embedders.py:86-89). The mean is a left fold over tokens then
+    one divide — the exact arithmetic the engine-side centroid
+    reduction uses."""
     table = _load_model(dim)
-    prefix = "cb:" if colbert else ""
-    return _embed_tokens([prefix + text] if not colbert else [prefix + text], table)[0]
+    if not colbert:
+        return _embed_tokens([text], table)[0]
+    vecs = colbert_token_vecs(text, table).astype(np.float64)
+    acc = np.zeros(dim)
+    for v in vecs:
+        acc = acc + v
+    return (acc / float(len(vecs))).tolist()
 
 
-def _l2_to_query(col: str, qvec: list[float]):
+def _l2_expr(vec, qvec: list[float]):
+    """L2 distance of a double-array Column expression to a literal
+    query vector (left fold — bitwise-stable, queries.py rules)."""
     qlit = F.array(*[F.lit(float(q)) for q in qvec])
     return F.aggregate(
-        F.zip_with(F.col(col).cast("array<double>"), qlit, lambda x, q: (x - q) * (x - q)),
+        F.zip_with(vec, qlit, lambda x, q: (x - q) * (x - q)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _l2_to_query(col: str, qvec: list[float]):
+    return _l2_expr(F.col(col).cast("array<double>"), qvec)
+
+
+def _centroid_expr(col: str, dim: int):
+    """Mean-pool an array<array<float>> column into one double vector —
+    the I11 centroid reduction over the REAL per-token ColBERT shape:
+    left fold of token vectors (zip_with add) then one divide per
+    coordinate. Pure SQL expressions: no Python in the query path."""
+    m = F.col(col).cast("array<array<double>>")
+    summed = F.aggregate(
+        m,
+        F.array(*[F.lit(0.0)] * dim),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+    )
+    n = F.size(F.col(col)).cast("double")
+    return F.transform(summed, lambda x: x / n)
 
 
 def search(
@@ -49,7 +78,13 @@ def search(
     """Dense / ColBERT-centroid search (fupi/utils.py:140-200 and
     :203-263 — both share this shape, differing only in the vector
     column and query reduction)."""
-    qvec = embed_query(query_text, dim, colbert=vector_column == "colbert_embedding")
+    colbert = vector_column == "colbert_embedding"
+    qvec = embed_query(query_text, dim, colbert=colbert)
+    # colbert stores the per-token matrix; reduce to its centroid
+    # in-query (fupi/utils.py:210), dense is already flat
+    vec = _centroid_expr(vector_column, dim) if colbert else F.col(
+        vector_column
+    ).cast("array<double>")
 
     # Q3+Q4: brute-force top-k with projection pushdown (only 3 columns
     # + the vector leave the scan; TakeOrderedAndProject, no full sort)
@@ -59,7 +94,7 @@ def search(
             "text_id",
             "sentence_id",
             "sentence",
-            _l2_to_query(vector_column, qvec).alias("distance"),
+            _l2_expr(vec, qvec).alias("distance"),
         )
         .orderBy(F.col("distance").asc(), F.col("sentence_id").asc())
         .limit(k)
@@ -106,7 +141,16 @@ def search_oracle_pandas(
     q = np.array(qvec, dtype=np.float64)
 
     def dist(e):
-        v = np.array(e, dtype=np.float64)
+        first = e[0] if len(e) else None
+        if isinstance(first, (list, np.ndarray)):
+            # colbert per-token matrix → left-fold centroid
+            m = np.stack([np.asarray(r, dtype=np.float64) for r in e])
+            acc = np.zeros(m.shape[1])
+            for row in m:
+                acc = acc + row
+            v = acc / float(m.shape[0])
+        else:
+            v = np.array(e, dtype=np.float64)
         d = 0.0
         for i in range(len(q)):  # left-assoc like the engine
             d += (v[i] - q[i]) * (v[i] - q[i])
