@@ -92,12 +92,30 @@ def scan_raw_docs(spark: SparkSession, path: str, num_samples: int = 0) -> DataF
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
 
+def _load_segmenter():
+    """Guarded real-kernel seam for the reference's pysbd segmenter
+    (fupi/data.py:34): used when importable AND FUPI_USE_PYSBD=1
+    (opt-in so library presence never silently changes results)."""
+    import os
+
+    if os.environ.get("FUPI_USE_PYSBD") == "1":
+        try:
+            import pysbd
+
+            seg = pysbd.Segmenter(language="en", clean=False)
+            return lambda t: [x for x in seg.segment(t or "") if x.strip()]
+        except ImportError:
+            pass
+    return lambda t: [x for x in _SENT_RE.split(t or "") if x.strip()]
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def split_sentences(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """Sentence-boundary split (regex stand-in for the reference's pysbd
-    segmenter, fupi/data.py:34). Vectorized over Arrow batches."""
+    """Sentence-boundary split (pysbd when opted in, regex stand-in
+    otherwise). Vectorized over Arrow batches."""
+    segment_one = _load_segmenter()  # once per worker
     for s in texts:
-        yield s.map(lambda t: [x for x in _SENT_RE.split(t or "") if x.strip()])
+        yield s.map(segment_one)
 
 
 def segment(texts: DataFrame) -> DataFrame:
@@ -130,6 +148,45 @@ def _load_model(dim: int):
     return rng.standard_normal((4096, dim)).astype(np.float32)
 
 
+def _load_embedder(dim: int):
+    """Guarded real-kernel seam: when onnxruntime is importable AND
+    FUPI_ONNX_MODEL points at a model file, return an ONNX session;
+    otherwise the deterministic stub table. Opt-in by env so the mere
+    presence of the library never silently changes results. The
+    per-worker handle pattern (created once, reused across Arrow
+    batches) is identical either way — swapping kernels changes no
+    Spark plumbing (reference: process-wide session,
+    /root/reference/fupi/utils.py:83-105)."""
+    import os
+
+    path = os.environ.get("FUPI_ONNX_MODEL")
+    if path:
+        try:
+            import onnxruntime
+
+            return "onnx", onnxruntime.InferenceSession(path)
+        except ImportError:
+            pass
+    return "stub", _load_model(dim)
+
+
+def _embed_batch(kind: str, handle, batch: pd.Series, dim: int) -> list[list[float]]:
+    if kind == "onnx":
+        # minimal real-model path: whitespace token ids mod vocab,
+        # mean-pool the last hidden state (model-specific pre/post
+        # processing goes here)
+        out = []
+        for text in batch:
+            ids = np.array(
+                [[hash_token(t) % 30000 for t in (text or "").split(" ") if t] or [0]],
+                dtype=np.int64,
+            )
+            hidden = handle.run(None, {"input_ids": ids})[0]
+            out.append(hidden.mean(axis=1)[0][:dim].astype(np.float32).tolist())
+        return out
+    return _embed_tokens(batch, handle)
+
+
 def _embed_tokens(batch: pd.Series, table: np.ndarray) -> list[list[float]]:
     out = []
     dim = table.shape[1]
@@ -153,9 +210,9 @@ def hash_token(tok: str) -> int:
 def embed_udf(dim: int = EMB_DIM):
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        table = _load_model(dim)  # once per worker, outside the batch loop
+        kind, handle = _load_embedder(dim)  # once per worker
         for batch in batches:
-            yield pd.Series(_embed_tokens(batch, table))
+            yield pd.Series(_embed_batch(kind, handle, batch, dim))
 
     return embed
 

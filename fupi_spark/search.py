@@ -206,13 +206,31 @@ def translate_results(results: DataFrame, cols: tuple[str, str] = ("title", "sen
         + [T.StructField(f"{c}_translated", T.StringType(), True) for c in cols]
     )
 
+    def _load_translator():
+        """Guarded real-kernel seam: CTranslate2 when importable AND
+        FUPI_CT2_MODEL is set (reference: lazy per-process model,
+        searcher.py:122-144); token-map stub otherwise."""
+        import os
+
+        path = os.environ.get("FUPI_CT2_MODEL")
+        if path:
+            try:
+                import ctranslate2
+
+                tr = ctranslate2.Translator(path)
+                return lambda s: " ".join(
+                    tr.translate_batch([str(s).split(" ")])[0].hypotheses[0]
+                )
+            except ImportError:
+                pass
+        model = dict(_TRANSLATION_TABLE)
+        return lambda s: " ".join(model.get(t, t) for t in str(s).split(" "))
+
     def run(batches):
-        model = dict(_TRANSLATION_TABLE)  # per-worker "model" load
+        translate_one = _load_translator()  # per-worker model load
         for pdf in batches:
             for c in cols:
-                pdf[f"{c}_translated"] = pdf[c].map(
-                    lambda s: " ".join(model.get(t, t) for t in str(s).split(" "))
-                )
+                pdf[f"{c}_translated"] = pdf[c].map(translate_one)
             yield pdf
 
     return results.mapInPandas(run, schema=out_schema)

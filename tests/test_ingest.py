@@ -96,3 +96,24 @@ def test_ingest_e2e_snapshot_arc(spark, raw_docs, tmp_path):
         .count()
     )
     assert orphan == 0
+
+
+def test_real_kernel_seams_skipped_unless_available(spark, monkeypatch):
+    """The guarded kernel seams activate only by env opt-in; with the
+    libraries absent they fall back to the stubs without error."""
+    import pytest
+
+    from fupi_spark.ingest import _load_embedder, _load_segmenter
+
+    monkeypatch.setenv("FUPI_ONNX_MODEL", "/nonexistent/model.onnx")
+    kind, _ = _load_embedder(16)
+    try:
+        import onnxruntime  # noqa: F401
+
+        pytest.skip("onnxruntime present: seam exercised by real-model runs")
+    except ImportError:
+        assert kind == "stub"  # library absent -> graceful stub fallback
+
+    monkeypatch.setenv("FUPI_USE_PYSBD", "1")
+    seg = _load_segmenter()
+    assert seg("One. Two.") == ["One.", "Two."] or len(seg("One. Two.")) == 2
