@@ -21,7 +21,14 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Spark python workers inherit PYTHONPATH, not the driver's sys.path —
+# without this, UDFs fail with ModuleNotFoundError whenever bench runs
+# from outside the repo dir (the spark-submit --py-files analogue).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO_DIR, os.environ.get("PYTHONPATH", "")) if p
+)
 
 HEADLINE = [
     "flagship_search",

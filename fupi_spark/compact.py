@@ -95,7 +95,7 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
         parts = sorted(f for f in os.listdir(f"{staging}/{d}") if f.endswith(".parquet"))
         for j, p in enumerate(parts):
             rel = f"data/{job_id}-{k:06d}-{j:02d}.parquet"
-            os.rename(f"{staging}/{d}/{p}", f"{table.root}/{rel}")
+            table.storage.promote(f"{staging}/{d}/{p}", rel)
             promoted.append(rel)
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -107,7 +107,7 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
         e = {
             "file_path": p,
             "row_count": r["row_count"],
-            "byte_size": os.path.getsize(f"{table.root}/{p}"),
+            "byte_size": table.storage.size(p),
         }
         for c in table.stats_cols:
             e[f"min_{c}"] = r[f"min_{c}"]
@@ -196,9 +196,9 @@ def compact(
             bytes_out = 0
             for i, p in enumerate(parts):
                 rel = f"data/{job_id}-b{b.bin_id:05d}-{i:03d}.parquet"
-                os.rename(f"{bin_dir}/{p}", f"{table.root}/{rel}")
+                table.storage.promote(f"{bin_dir}/{p}", rel)
                 files_out.append(rel)
-                bytes_out += os.path.getsize(f"{table.root}/{rel}")
+                bytes_out += table.storage.size(rel)
             log.complete_unit(
                 b.bin_id,
                 files_in=[e["file_path"] for e in b.files],
@@ -231,7 +231,7 @@ def compact(
         for j, p in enumerate(outs):
             e = {
                 "file_path": p,
-                "byte_size": os.path.getsize(f"{table.root}/{p}"),
+                "byte_size": table.storage.size(p),
                 # multi-file bins are rare (hash-collision split); rows
                 # per out-file are only exact when the bin is one file
                 "row_count": r["rows"] if len(outs) == 1 else None,

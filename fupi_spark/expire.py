@@ -32,8 +32,6 @@ the commit lands). The newest snapshot is always retained.
 
 from __future__ import annotations
 
-import os
-import shutil
 import time
 
 from .meta import Table
@@ -64,18 +62,14 @@ def expire_snapshots(
     retained = [table.snapshot(i) for i in retained_ids]
     committed_jobs = _committed_job_ids(table, ids)
 
-    # jobs with a lineage dir but no committing snapshot are in flight —
-    # their promoted-but-uncommitted files are NOT orphans (yet)
-    lineage_root = f"{table.root}/_lineage"
-    lineage_jobs = (
-        sorted(os.listdir(lineage_root)) if os.path.isdir(lineage_root) else []
-    )
+    # jobs with a lineage entry but no committing snapshot are in
+    # flight — their promoted-but-uncommitted files are NOT orphans (yet)
+    st = table.storage
+    lineage_jobs = sorted({p.split("/", 2)[1] for p in st.list("_lineage")})
     active_jobs = [j for j in lineage_jobs if j not in committed_jobs]
 
     manifest_paths = sorted({m for s in retained for m in s.manifests})
-    listing = sorted(
-        f"data/{f}" for f in os.listdir(table.data_dir)
-    ) if os.path.isdir(table.data_dir) else []
+    listing = st.list("data")
 
     def protected(rel: str) -> bool:
         name = rel.split("/", 1)[1]
@@ -83,7 +77,7 @@ def expire_snapshots(
             return True
         if older_than_s > 0:
             try:
-                if now - os.path.getmtime(f"{table.root}/{rel}") < older_than_s:
+                if now - st.mtime(rel) < older_than_s:
                     return True
             except FileNotFoundError:
                 return True
@@ -115,25 +109,23 @@ def expire_snapshots(
         ]
 
     for p in orphans:
-        os.remove(f"{table.root}/{p}")
+        st.delete(p)
 
     # prune expired snapshot JSONs + manifests referenced only by them
     for i in expired_ids:
-        os.remove(table._snap_path(i))
+        st.delete(f"metadata/v{i:05d}.json")
     live_manifests = set(manifest_paths)
     removed_manifests = []
-    if os.path.isdir(table.manifest_dir):
-        for f in sorted(os.listdir(table.manifest_dir)):
-            rel = f"metadata/manifests/{f}"
-            if rel not in live_manifests:
-                os.remove(f"{table.root}/{rel}")
-                removed_manifests.append(rel)
+    for rel in st.list("metadata/manifests"):
+        if rel not in live_manifests:
+            st.delete(rel)
+            removed_manifests.append(rel)
 
     # lineage checkpoints of committed jobs have served their purpose
     pruned_lineage = []
     for j in lineage_jobs:
         if j in committed_jobs:
-            shutil.rmtree(f"{lineage_root}/{j}", ignore_errors=True)
+            st.delete_prefix(f"_lineage/{j}")
             pruned_lineage.append(j)
 
     return {

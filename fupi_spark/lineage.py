@@ -7,18 +7,20 @@ manifest from unit lineage (BASELINE.json north_star: "resumable from a
 checkpointed per-partition lineage manifest carrying
 files-in/files-out/bytes/rows metrics").
 
-Unit records are single JSON files written via tmp+rename (atomic on
-POSIX), so a crash mid-write never yields a half-valid checkpoint. The
-data files a completed unit produced live in ``data/`` but stay
-invisible until the job's final snapshot commit (manifest-driven
-visibility) — so resume is idempotent and an abandoned job's output is
-reclaimed by orphan GC.
+Unit records are single JSON objects written through the storage
+interface's atomic whole-object PUT (readers see a full record or
+nothing — no torn checkpoints on POSIX or object stores). The data
+files a completed unit produced live in ``data/`` but stay invisible
+until the job's final snapshot commit (manifest-driven visibility) —
+so resume is idempotent and an abandoned job's output is reclaimed by
+orphan GC. Constructing the log also registers the job as in-flight
+(``Table.mark_job_active``), which shields its promoted files from
+concurrent GC.
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from .meta import Table
 
@@ -27,11 +29,11 @@ class LineageLog:
     def __init__(self, table: Table, job_id: str):
         self.table = table
         self.job_id = job_id
-        self.dir = f"{table.root}/_lineage/{job_id}"
-        os.makedirs(self.dir, exist_ok=True)
+        self.prefix = f"_lineage/{job_id}"
+        table.mark_job_active(job_id)
 
-    def _unit_path(self, unit_id: int) -> str:
-        return f"{self.dir}/unit-{unit_id:06d}.json"
+    def _unit_rel(self, unit_id: int) -> str:
+        return f"{self.prefix}/unit-{unit_id:06d}.json"
 
     def complete_unit(
         self,
@@ -54,19 +56,14 @@ class LineageLog:
             "committed": True,
             **(extra or {}),
         }
-        tmp = self._unit_path(unit_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, self._unit_path(unit_id))
+        self.table.storage.put(self._unit_rel(unit_id), json.dumps(rec).encode())
 
     def completed_units(self) -> dict[int, dict]:
         out = {}
-        for fn in os.listdir(self.dir):
-            if fn.startswith("unit-") and fn.endswith(".json"):
-                with open(f"{self.dir}/{fn}") as f:
-                    rec = json.load(f)
+        for rel in self.table.storage.list(self.prefix):
+            name = rel.rsplit("/", 1)[-1]
+            if name.startswith("unit-") and name.endswith(".json"):
+                rec = json.loads(self.table.storage.read(rel))
                 if rec.get("committed"):
                     out[rec["unit_id"]] = rec
         return out

@@ -3,15 +3,25 @@ the Iceberg *model* — snapshot → manifest → data files with per-file
 column stats — without binding to Iceberg runtime jars; BASELINE.json
 "from scratch, NOT a port").
 
-On-disk layout (object-store friendly: immutable files + one atomic
-create per commit):
+On-disk layout (object-store friendly: immutable objects + one
+conditional PUT per commit):
 
     <root>/
       data/<job>-<k>.parquet            immutable data files
-      metadata/v00001.json ...          snapshot log (atomic O_EXCL create)
+      metadata/v00001.json ...          snapshot log (conditional-PUT claims)
       metadata/manifests/<id>.parquet   manifest files (file entries + stats)
-      _staging/<job>/                   transient write area
+      _staging/<job>/                   transient local write area
       _lineage/<job>/unit-<k>.json      per-partition lineage checkpoints
+
+Every metadata mutation, promotion, and GC delete goes through the
+``storage.py`` interface — primitives every object store offers (the
+reference's tables live on S3/MinIO/R2, /root/reference/fupi/utils.py:16,
+searcher.py:378-399): atomic whole-object PUT, conditional PUT (the
+commit claim; S3 If-None-Match:*), LIST/HEAD/DELETE, and a
+copy-or-rename promote. Spark reads/writes data file *content* directly
+(on a cluster, via its own s3a layer). The test suite runs the
+maintenance ops against both the POSIX fast path and the
+no-atomic-rename object-store emulation.
 
 Visibility is manifest-driven: a data file not referenced by the
 current snapshot does not exist to readers — which makes failed jobs
@@ -19,7 +29,8 @@ harmless (their staging/data output becomes orphan files collected by
 expire.gc_orphans).
 
 Concurrency: optimistic. A committer computes (removed, added) against
-its base snapshot, then claims metadata/v{n+1}.json with O_CREAT|O_EXCL.
+its base snapshot, then claims metadata/v{n+1}.json with a conditional
+PUT of the fully-written snapshot (no torn reads, no rename needed).
 If another writer won, the committer rebases: reload current live set,
 verify none of its input files were removed (no overlap → its rewrite
 is still valid), recompute live = current − removed + added, retry.
@@ -52,6 +63,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .storage import LocalStorage, Storage
 
 
 def local_path(uri: str) -> str:
@@ -88,9 +101,8 @@ class Snapshot:
         )
 
     @staticmethod
-    def from_path(path: str) -> "Snapshot":
-        with open(path) as f:
-            d = json.load(f)
+    def from_bytes(data: bytes) -> "Snapshot":
+        d = json.loads(data)
         return Snapshot(
             d["snapshot_id"], d["parent_id"], d["operation"], d["manifests"], d["summary"]
         )
@@ -114,9 +126,14 @@ class Table:
         spark: SparkSession,
         root: str,
         stats_spec: list[tuple[str, pa.DataType]],
+        storage: Storage | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
+        # every metadata/promotion/GC mutation goes through the storage
+        # interface (object-store compatible primitives, storage.py);
+        # Spark itself reads/writes data file CONTENT directly
+        self.storage = storage or LocalStorage(self.root)
         self.stats_spec = stats_spec
         self.stats_cols = [c for c, _ in stats_spec]
         self.manifest_schema = pa.schema(_manifest_arrow_fields(stats_spec))
@@ -139,22 +156,23 @@ class Table:
 
     # -- snapshot log ------------------------------------------------------
     def snapshot_ids(self) -> list[int]:
-        if not os.path.isdir(self.meta_dir):
-            return []
         out = []
-        for f in os.listdir(self.meta_dir):
-            if f.startswith("v") and f.endswith(".json"):
-                out.append(int(f[1:-5]))
+        for p in self.storage.list("metadata"):
+            name = p[len("metadata/"):]
+            if "/" not in name and name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
         return sorted(out)
 
     def current_snapshot(self) -> Snapshot | None:
         ids = self.snapshot_ids()
         if not ids:
             return None
-        return Snapshot.from_path(self._snap_path(ids[-1]))
+        return self.snapshot(ids[-1])
 
     def snapshot(self, snapshot_id: int) -> Snapshot:
-        return Snapshot.from_path(self._snap_path(snapshot_id))
+        return Snapshot.from_bytes(
+            self.storage.read(f"metadata/v{snapshot_id:05d}.json")
+        )
 
     def lineage_chain(self) -> list[dict]:
         """Snapshot lineage: (id, parent, operation, summary) per commit."""
@@ -194,8 +212,10 @@ class Table:
 
     def write_manifest(self, entries: pa.Table) -> str:
         rel = f"metadata/manifests/{uuid.uuid4().hex}.parquet"
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        pq.write_table(entries, f"{self.root}/{rel}")
+        tmp = f"{self.root}/.manifest-{uuid.uuid4().hex}.parquet"
+        os.makedirs(self.root, exist_ok=True)
+        pq.write_table(entries, tmp)
+        self.storage.promote(tmp, rel)
         return rel
 
     # -- reads --------------------------------------------------------------
@@ -240,21 +260,26 @@ class Table:
     def scan_in_manifest_order(self, snapshot_id: int | None = None) -> DataFrame:
         """Scan with a per-file ordinal so tests can reconstruct the
         exact physical order (file order from the manifest, row order
-        within a parquet file is preserved by the reader)."""
+        within a parquet file is preserved by the reader).
+
+        One scan + a broadcast join of (file → ordinal) on
+        ``_metadata.file_path`` — NOT a union of per-file branches,
+        whose plan grows O(files) and whose per-branch footer reads
+        serialize on the driver."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
-        entries = self.manifest_entries(snap).to_pylist()
-        entries.sort(key=lambda e: e["file_path"])
-        dfs = []
-        for i, e in enumerate(entries):
-            dfs.append(
-                self.spark.read.parquet(f"{self.root}/{e['file_path']}").withColumn(
-                    "_file_ord", F.lit(i)
-                )
-            )
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        entries = sorted(self.manifest_entries(snap).to_pylist(), key=lambda e: e["file_path"])
+        if not entries:
+            raise ValueError("empty table: no files in snapshot")
+        ord_df = self.spark.createDataFrame(
+            [(f"{self.root}/{e['file_path']}", i) for i, e in enumerate(entries)],
+            "_abs string, _file_ord int",
+        )
+        df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in entries])
+        # _metadata.file_path is a file:/ URI; normalize to a plain path
+        df = df.withColumn(
+            "_abs", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        )
+        return df.join(F.broadcast(ord_df), "_abs").drop("_abs")
 
     # -- writes --------------------------------------------------------------
     def stage_dir(self, job_id: str) -> str:
@@ -281,26 +306,27 @@ class Table:
         return self._promote_staging(staging, job_id)
 
     def mark_job_active(self, job_id: str) -> None:
-        """Create the job's lineage dir before any file lands in data/ —
-        orphan GC treats files of a job with a live lineage dir and no
-        committing snapshot as in-flight, never orphans (the
-        promoted-but-uncommitted window is otherwise a GC race)."""
-        os.makedirs(f"{self.root}/_lineage/{job_id}", exist_ok=True)
+        """Register the job's lineage marker before any file lands in
+        data/ — orphan GC treats files of a job with a live lineage
+        entry and no committing snapshot as in-flight, never orphans
+        (the promoted-but-uncommitted window is otherwise a GC race)."""
+        if not self.storage.list(f"_lineage/{job_id}"):
+            self.storage.put(f"_lineage/{job_id}/.job", b"")
 
     def _promote_staging(self, staging: str, job_id: str) -> pa.Table:
         # per-file stats: one distributed agg over the staged files
         stats = self._file_stats_df(self.spark.read.parquet(staging)).collect()
         self.mark_job_active(job_id)
-        os.makedirs(self.data_dir, exist_ok=True)
+        self.storage.ensure_dir("data")
         entries = []
         for i, r in enumerate(sorted(stats, key=lambda r: r["file_path"])):
             src_local = local_path(r["file_path"])
             rel = f"data/{job_id}-{i:05d}.parquet"
-            os.rename(src_local, f"{self.root}/{rel}")
+            self.storage.promote(src_local, rel)
             e = {
                 "file_path": rel,
                 "row_count": r["row_count"],
-                "byte_size": os.path.getsize(f"{self.root}/{rel}"),
+                "byte_size": self.storage.size(rel),
             }
             for c in self.stats_cols:
                 e[f"min_{c}"] = r[f"min_{c}"]
@@ -351,7 +377,7 @@ class Table:
         removed_paths = removed_paths or set()
         input_paths = input_paths if input_paths is not None else set(removed_paths)
         base = base or self.current_snapshot()
-        os.makedirs(self.meta_dir, exist_ok=True)
+        self.storage.ensure_dir("metadata")
 
         for _ in range(max_retries):
             current = self.current_snapshot()
@@ -388,21 +414,17 @@ class Table:
                     "total_bytes": sum(merged.column("byte_size").to_pylist()),
                 },
             )
-            path = self._snap_path(next_id)
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                # Lost the race. Do NOT fast-forward base here: the next
-                # iteration must see current != base so the input_paths
-                # validation runs against the winner's live set (a
-                # compaction losing to a merge that removed its inputs
-                # must raise CommitConflict, not commit stale rows).
-                continue
-            with os.fdopen(fd, "w") as f:
-                f.write(snap.to_json())
-                f.flush()
-                os.fsync(f.fileno())
-            return snap
+            # Conditional PUT of the fully-written snapshot (atomic
+            # create WITH content — on S3: If-None-Match:*). On a lost
+            # race, do NOT fast-forward base: the next iteration must
+            # see current != base so the input_paths validation runs
+            # against the winner's live set (a compaction losing to a
+            # merge that removed its inputs must raise CommitConflict,
+            # not commit stale rows).
+            if self.storage.put_if_absent(
+                f"metadata/v{next_id:05d}.json", snap.to_json().encode()
+            ):
+                return snap
         raise CommitConflict(f"{operation}: gave up after {max_retries} rebase attempts")
 
 
@@ -459,17 +481,17 @@ def entries_to_arrow(
 # ---------------------------------------------------------------------------
 
 
-def create_table(spark: SparkSession, root: str, stats_spec=None) -> Table:
-    t = Table(spark, root, stats_spec or CLIPS_STATS)
-    os.makedirs(t.meta_dir, exist_ok=True)
-    os.makedirs(t.data_dir, exist_ok=True)
+def create_table(spark: SparkSession, root: str, stats_spec=None, storage=None) -> Table:
+    t = Table(spark, root, stats_spec or CLIPS_STATS, storage=storage)
+    t.storage.ensure_dir("metadata")
+    t.storage.ensure_dir("data")
     if t.current_snapshot() is None:
         t.commit("create", _empty_manifest(t.stats_spec))
     return t
 
 
-def load_table(spark: SparkSession, root: str, stats_spec=None) -> Table:
-    t = Table(spark, root, stats_spec or CLIPS_STATS)
+def load_table(spark: SparkSession, root: str, stats_spec=None, storage=None) -> Table:
+    t = Table(spark, root, stats_spec or CLIPS_STATS, storage=storage)
     if t.current_snapshot() is None:
         raise FileNotFoundError(f"no table at {root}")
     return t

@@ -104,6 +104,9 @@ class Storage:
     def mtime(self, rel: str) -> float:
         return os.path.getmtime(self._abs(rel))
 
+    def size(self, rel: str) -> int:
+        return os.path.getsize(self._abs(rel))
+
     def list(self, prefix: str) -> list[str]:
         """Relative paths of all objects under ``prefix`` (recursive,
         like an object-store LIST)."""
