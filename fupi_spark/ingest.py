@@ -298,23 +298,47 @@ def ingest_corpus(
     sentences = sentences.withColumn("dense_embedding", emb(F.col("sentence"))).withColumn(
         "colbert_embedding", emb_m(F.col("sentence"))  # per-token matrix
     )
+    # stored LSH index: bucket id from the dense vector (JVM-side
+    # expression), bucket-partitioned + bucket-sorted files so a search
+    # probe becomes manifest-level file skipping + parquet row-group
+    # pruning (reference parity: index-backed Lance search,
+    # fupi/utils.py:149-161)
+    from .ann import LSH_N_PLANES, bucket_expr, lsh_planes
+
+    planes = lsh_planes(LSH_N_PLANES, dim)
+    sentences = sentences.withColumn("lsh_bucket", bucket_expr("dense_embedding", planes))
     sentences = sentences.select(
-        "text_id", "sentence_id", "sentence", "dense_embedding", "colbert_embedding", "date", "title"
+        "text_id", "sentence_id", "sentence", "dense_embedding", "colbert_embedding",
+        "lsh_bucket", "date", "title",
     )
     text_level = text_level_from_sentences(sentences, dim)
 
-    sent_stats = [("text_id", __import__("pyarrow").int64()), ("sentence_id", __import__("pyarrow").int64())]
-    text_stats = [("text_id", __import__("pyarrow").int64())]
+    pa_ = __import__("pyarrow")
+    sent_stats = [
+        ("text_id", pa_.int64()),
+        ("sentence_id", pa_.int64()),
+        ("lsh_bucket", pa_.int64()),
+    ]
+    text_stats = [("text_id", pa_.int64())]
 
     t_sent = meta.create_table(spark, f"{warehouse}/sentence_level", stats_spec=sent_stats)
     t_text = meta.create_table(spark, f"{warehouse}/text_level", stats_spec=text_stats)
     meta.append(
         t_sent,
-        sentences.select("text_id", "sentence_id", "sentence", "dense_embedding", "colbert_embedding"),
+        sentences.select(
+            "text_id", "sentence_id", "sentence", "dense_embedding",
+            "colbert_embedding", "lsh_bucket",
+        ).repartition(8, "lsh_bucket"),  # hash, not range: repartitionByRange's
+        # sampling job would re-run the embed UDFs (plan-gotcha #2)
         job_id="ingest",
+        sort_within=["lsh_bucket", "sentence_id"],
     )
     meta.append(t_text, text_level, job_id="ingest")
-    compact(t_sent, target_bytes=compact_target_bytes, job_id="ingest-compact")
+    # bucket-sorted compaction keeps row-groups bucket-clustered even
+    # when FFD merges bucket-pure files (file-level ranges widen; the
+    # in-file sort preserves row-group pruning)
+    compact(t_sent, target_bytes=compact_target_bytes, job_id="ingest-compact",
+            sort_within=["lsh_bucket", "sentence_id"])
     compact(t_text, target_bytes=compact_target_bytes, job_id="ingest-compact")
     return t_text, t_sent
 

@@ -257,6 +257,29 @@ class Table:
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df, len(keep), len(entries)
 
+    def scan_pruned_in(
+        self, col: str, values: list, snapshot_id: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Point-set file skipping: read only files whose [min, max]
+        range for ``col`` contains at least one of ``values`` (the
+        probe-set analogue of scan_pruned; used by LSH bucket probes).
+        The residual isin filter is pushed to the parquet reader, so
+        row-group pruning composes with the manifest skip."""
+        snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
+        entries = self.manifest_entries(snap).to_pylist()
+        keep = [
+            e
+            for e in entries
+            if e[f"min_{col}"] is None
+            or e[f"max_{col}"] is None
+            or any(e[f"min_{col}"] <= v <= e[f"max_{col}"] for v in values)
+        ]
+        if not keep:
+            df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
+            return df, 0, len(entries)
+        df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in keep])
+        return df.filter(F.col(col).isin(list(values))), len(keep), len(entries)
+
     def scan_in_manifest_order(self, snapshot_id: int | None = None) -> DataFrame:
         """Scan with a per-file ordinal so tests can reconstruct the
         exact physical order (file order from the manifest, row order
@@ -497,10 +520,19 @@ def load_table(spark: SparkSession, root: str, stats_spec=None, storage=None) ->
     return t
 
 
-def append(table: Table, df: DataFrame, job_id: str | None = None, parts: int | None = None) -> Snapshot:
-    """Append write: new data files + new snapshot referencing old ∪ new."""
+def append(
+    table: Table,
+    df: DataFrame,
+    job_id: str | None = None,
+    parts: int | None = None,
+    sort_within: list[str] | None = None,
+) -> Snapshot:
+    """Append write: new data files + new snapshot referencing old ∪ new.
+    The caller controls physical layout: pre-repartition (or pass
+    ``parts`` for a blind hash repartition) and ``sort_within`` to keep
+    per-file/row-group stats tight on index columns."""
     job_id = job_id or f"append-{uuid.uuid4().hex[:8]}"
     if parts:
         df = df.repartition(parts)
-    added = table.write_datafiles(df, job_id)
+    added = table.write_datafiles(df, job_id, sort_within=sort_within)
     return table.commit("append", added, summary={"job_id": job_id})

@@ -20,8 +20,6 @@ brute-force Jaccard join is band-limited the same way.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -304,20 +302,9 @@ def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
-    """Deterministic integer hyperplane weights in [-7, 8] from md5 —
-    computed in Python, embedded as literals in BOTH dialects."""
-    planes = []
-    for p in range(n_planes):
-        w = []
-        for d in range(dim):
-            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
-            w.append(int(h[:2], 16) % 16 - 7)
-        planes.append(w)
-    return planes
+from .ann import hamming_probes, lsh_planes, query_bucket  # noqa: E402
 
-
-LSH_PLANES = _lsh_planes(8, 64)
+LSH_PLANES = lsh_planes(8, 64)
 
 
 def _plane_dot_duck(p: list[int]) -> str:
@@ -369,31 +356,9 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _query_bucket(qvec: list[float]) -> int:
-    b = 0
-    for i, p in enumerate(LSH_PLANES):
-        dot = 0.0
-        for x, w in zip(qvec, p):
-            dot += x * float(w)
-        if dot > 0:
-            b |= 1 << i
-    return b
-
-
-def _hamming_probes(bucket: int, radius: int, n_bits: int) -> list[int]:
-    import itertools
-
-    probes = {bucket}
-    for r in range(1, radius + 1):
-        for combo in itertools.combinations(range(n_bits), r):
-            b = bucket
-            for i in combo:
-                b ^= 1 << i
-            probes.add(b)
-    return sorted(probes)
-
-
-_LSH_PROBES = _hamming_probes(_query_bucket(QUERY_VEC), radius=2, n_bits=len(LSH_PLANES))
+_LSH_PROBES = hamming_probes(
+    query_bucket(QUERY_VEC, LSH_PLANES), radius=2, n_bits=len(LSH_PLANES)
+)
 
 
 @register(

@@ -74,10 +74,19 @@ def search(
     k: int = 10,
     vector_column: str = "dense_embedding",
     dim: int = EMB_DIM,
+    use_lsh: bool = False,
+    lsh_radius: int = 1,
 ) -> DataFrame:
     """Dense / ColBERT-centroid search (fupi/utils.py:140-200 and
     :203-263 — both share this shape, differing only in the vector
-    column and query reduction)."""
+    column and query reduction).
+
+    ``use_lsh=True`` probes the stored ``lsh_bucket`` index instead of
+    scanning every vector: query bucket + Hamming≤radius neighbors →
+    manifest file skipping + pushed isin filter → exact rerank inside
+    the candidate set (the reference's index-backed search,
+    fupi/utils.py:149-161). Approximate by nature: recall is bounded by
+    the probe set; dense column only (the bucket is built from it)."""
     colbert = vector_column == "colbert_embedding"
     qvec = embed_query(query_text, dim, colbert=colbert)
     # colbert stores the per-token matrix; reduce to its centroid
@@ -86,10 +95,22 @@ def search(
         vector_column
     ).cast("array<double>")
 
+    if use_lsh:
+        assert not colbert, "lsh index is built over the dense column"
+        from .ann import LSH_N_PLANES, hamming_probes, lsh_planes, query_bucket
+
+        planes = lsh_planes(LSH_N_PLANES, dim)
+        probes = hamming_probes(
+            query_bucket(qvec, planes), lsh_radius, LSH_N_PLANES
+        )
+        scan, _files_read, _files_total = t_sent.scan_pruned_in("lsh_bucket", probes)
+    else:
+        scan = t_sent.scan()
+
     # Q3+Q4: brute-force top-k with projection pushdown (only 3 columns
     # + the vector leave the scan; TakeOrderedAndProject, no full sort)
     hits = (
-        t_sent.scan()
+        scan
         .select(
             "text_id",
             "sentence_id",

@@ -88,7 +88,10 @@ def test_ingest_e2e_snapshot_arc(spark, raw_docs, tmp_path):
     assert n_text == 40
     assert n_sent >= n_text  # 1→N explode
     cols = set(t_sent.scan().columns)
-    assert cols == {"text_id", "sentence_id", "sentence", "dense_embedding", "colbert_embedding"}
+    assert cols == {
+        "text_id", "sentence_id", "sentence", "dense_embedding",
+        "colbert_embedding", "lsh_bucket",
+    }
     # FK integrity
     orphan = (
         t_sent.scan()

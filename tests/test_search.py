@@ -87,3 +87,42 @@ def test_translation_stage_and_records_sink(spark, corpus):
     recs = results_to_records(res)
     assert isinstance(recs, list) and isinstance(recs[0], dict)
     assert set(recs[0]) == {"distance", "text_id", "date", "title", "sentence_ids", "sentences"}
+
+
+def test_search_lsh_probe_matches_bucket_restricted_oracle(spark, corpus):
+    """Index-backed search: the LSH probe result must equal brute-force
+    search restricted to the probed buckets (exact within candidates),
+    and the probe must reach the scan as a pushed filter."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fupi_spark.ann import LSH_N_PLANES, hamming_probes, lsh_planes, query_bucket
+    from fupi_spark.ingest import EMB_DIM
+
+    t_text, t_sent = corpus
+    qtext = "quick brown fox jumps"
+    qvec = embed_query(qtext)
+    planes = lsh_planes(LSH_N_PLANES, EMB_DIM)
+    probes = hamming_probes(query_bucket(qvec, planes), 1, LSH_N_PLANES)
+
+    res = search(t_text, t_sent, qtext, k=10, use_lsh=True, lsh_radius=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "lsh_bucket" in plan  # the probe filter is in the plan
+
+    got = res.toPandas()
+
+    sent_pdf = t_sent.scan().toPandas()
+    cand = sent_pdf[sent_pdf["lsh_bucket"].isin(probes)]
+    text_pdf = t_text.scan().toPandas()
+    exp = search_oracle_pandas(cand, text_pdf, qvec, k=10)
+    assert list(got["text_id"]) == list(exp["text_id"])
+    assert list(got["sentence_ids"]) == list(exp["sentence_ids"])
+
+    # candidate set is a strict subset of the table (sublinear probe)
+    assert 0 < len(cand) < len(sent_pdf)
+
+    # stored buckets agree with the driver-side bucketing arithmetic
+    m = np.array([np.array(v, dtype=np.float64) for v in sent_pdf["dense_embedding"]])
+    p = np.array(planes, dtype=np.float64)
+    want_buckets = ((m @ p.T > 0).astype(np.int64) * (1 << np.arange(LSH_N_PLANES))).sum(axis=1)
+    assert list(sent_pdf["lsh_bucket"]) == list(want_buckets)
