@@ -37,10 +37,13 @@ from pyspark.sql import types as T
 FAKE_MAGIC = b"FAKE"
 
 # vectorized batch functions bound their working set to this many
-# samples per block (~12 MB of float64) — big enough to amortize numpy
-# call overhead, small enough to stay cache/allocator-friendly when 32
-# workers run side by side
-_BLOCK_SAMPLES = 1_500_000
+# samples per block — big enough to amortize numpy call overhead, small
+# enough that a block's temporaries stay cache-resident when 32 workers
+# run side by side (the kernels are memory-bandwidth-bound: 5 streaming
+# passes per sample). Overridable for tuning experiments.
+import os as _os
+
+_BLOCK_SAMPLES = int(_os.environ.get("FUPI_BLOCK_SAMPLES", "1500000"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,107 @@
+"""spark-submit entry point for the maintenance engine.
+
+The north rule ships jobs via ``spark-submit --py-files`` to
+multi-executor clusters. Package and run:
+
+    zip -r fupi_spark.zip fupi_spark
+    spark-submit --master <cluster> --py-files fupi_spark.zip \
+        submit_maintenance.py --table s3://bucket/clips --op pipeline
+
+Ops:
+    pipeline  synth(--clips) → append small files → compact → cluster →
+              merge 1% upsert → verify → expire   (the bench workload)
+    compact | cluster | merge-demo | expire | verify
+              individual maintenance jobs against an existing table
+
+The script takes its SparkSession from spark-submit (master/conf come
+from the submit command; fupi_spark.session only fills in local
+defaults when none was provided). Exit code 0 = job committed and the
+post-op scan validated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--table", required=True, help="table root path")
+    p.add_argument(
+        "--op",
+        default="pipeline",
+        choices=["pipeline", "compact", "cluster", "merge-demo", "expire", "verify"],
+    )
+    p.add_argument("--clips", type=int, default=2000)
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    p.add_argument("--retain-last", type=int, default=2)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from fupi_spark import meta
+    from fupi_spark.audio import verify_clips
+    from fupi_spark.cluster import cluster
+    from fupi_spark.compact import compact
+    from fupi_spark.expire import expire_snapshots
+    from fupi_spark.merge import merge_into
+    from fupi_spark.session import get_spark
+    from fupi_spark.synth import synth_clips
+
+    spark = get_spark("fupi_spark_maintenance")
+    target = args.target_mb << 20
+    report: dict = {"op": args.op, "table": args.table}
+
+    if args.op == "pipeline":
+        t = meta.create_table(spark, args.table)
+        meta.append(
+            t,
+            synth_clips(spark, args.clips, dur_range_ms=(100, 500), parts=max(8, args.clips // 200)),
+            job_id="seed",
+        )
+        compact(t, target_bytes=target)
+        cluster(t, curve=args.curve, target_bytes=target)
+        upd = (
+            t.scan()
+            .limit(max(args.clips // 100, 5))
+            .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" v2")))
+            .cache()
+        )
+        upd.count()
+        merge_into(t, upd)
+        bad = verify_clips(t.scan()).filter(~F.col("pcm_ok")).count()
+        expire_snapshots(t, retain_last=args.retain_last)
+        n = t.scan().count()
+        report.update({"rows": n, "bad_snr": bad, "snapshots": t.snapshot_ids()})
+        ok = n == args.clips and bad == 0
+    else:
+        t = meta.load_table(spark, args.table)
+        if args.op == "compact":
+            snap = compact(t, target_bytes=target)
+            report["snapshot"] = snap.snapshot_id if snap else None
+        elif args.op == "cluster":
+            report["snapshot"] = cluster(t, curve=args.curve, target_bytes=target).snapshot_id
+        elif args.op == "merge-demo":
+            upd = (
+                t.scan()
+                .limit(10)
+                .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" v2")))
+                .cache()
+            )
+            upd.count()
+            report["snapshot"] = merge_into(t, upd).snapshot_id
+        elif args.op == "expire":
+            report["report"] = expire_snapshots(t, retain_last=args.retain_last)
+        elif args.op == "verify":
+            report["bad_snr"] = verify_clips(t.scan()).filter(~F.col("pcm_ok")).count()
+        ok = t.scan().count() >= 0
+
+    print(json.dumps(report, default=str))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

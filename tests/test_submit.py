@@ -1,0 +1,70 @@
+"""spark-submit --py-files ship path (north rule: 'jobs ship via
+spark-submit --py-files to multi-executor clusters'): package
+fupi_spark as a zip, run the maintenance pipeline through a real
+spark-submit, validate the committed table."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT), reason="spark-submit not available")
+def test_spark_submit_py_files_pipeline(tmp_path):
+    zpath = tmp_path / "fupi_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "fupi_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    table = str(tmp_path / "table")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", str(zpath),
+            os.path.join(REPO, "submit_maintenance.py"),
+            "--table", table, "--op", "pipeline", "--clips", "400",
+            "--target-mb", "1",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),  # NOT the repo: the zip must provide the package
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == 400 and rep["bad_snr"] == 0
+
+
+def test_submitted_table_readable(spark, tmp_path):
+    """Companion check with an in-process session (cheap): the entry
+    point commits ops that the metadata layer can reload and scan."""
+    out = subprocess.run(
+        [
+            os.sys.executable, os.path.join(REPO, "submit_maintenance.py"),
+            "--table", str(tmp_path / "t2"), "--op", "pipeline",
+            "--clips", "300", "--target-mb", "1",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    from fupi_spark import meta
+
+    t = meta.load_table(spark, str(tmp_path / "t2"))
+    assert t.scan().count() == 300
+    ops = [s["operation"] for s in t.lineage_chain()]
+    assert "merge" in ops
