@@ -37,6 +37,13 @@ import time
 from .meta import Table
 
 
+def _safe_mtime(storage, rel: str, default: float) -> float:
+    try:
+        return storage.mtime(rel)
+    except FileNotFoundError:
+        return default  # vanished concurrently → treat as fresh (keep)
+
+
 def _committed_job_ids(table: Table, snapshot_ids: list[int]) -> set[str]:
     out = set()
     for i in snapshot_ids:
@@ -63,13 +70,17 @@ def expire_snapshots(
     committed_jobs = _committed_job_ids(table, ids)
 
     # jobs with a lineage entry but no committing snapshot are in
-    # flight — their promoted-but-uncommitted files are NOT orphans (yet)
+    # flight — their promoted-but-uncommitted files are NOT orphans (yet).
+    # ORDER MATTERS: list data/ BEFORE _lineage/. Writers mark the job
+    # active before promoting, so any file visible in the data listing
+    # either has its marker visible in the (later) lineage listing or
+    # belongs to a committed job — the reverse order would let a writer
+    # that registered between the two LISTs lose its files (TOCTOU).
     st = table.storage
-    lineage_jobs = sorted({p.split("/", 2)[1] for p in st.list("_lineage")})
-    active_jobs = [j for j in lineage_jobs if j not in committed_jobs]
-
     manifest_paths = sorted({m for s in retained for m in s.manifests})
     listing = st.list("data")
+    lineage_jobs = sorted({p.split("/", 2)[1] for p in st.list("_lineage")})
+    active_jobs = [j for j in lineage_jobs if j not in committed_jobs]
 
     def protected(rel: str) -> bool:
         name = rel.split("/", 1)[1]
@@ -111,15 +122,27 @@ def expire_snapshots(
     for p in orphans:
         st.delete(p)
 
-    # prune expired snapshot JSONs + manifests referenced only by them
-    for i in expired_ids:
-        st.delete(f"metadata/v{i:05d}.json")
+    # prune expired snapshot JSONs + the manifests they referenced.
+    # Only known-dead manifests (referenced by an expired snapshot, not
+    # by any retained one) are deleted unconditionally — a blanket
+    # "not in live set" sweep would race a concurrent committer whose
+    # manifest lands moments before its snapshot claim. Orphan manifests
+    # (losing committers' rebase leftovers) fall to the age gate.
     live_manifests = set(manifest_paths)
+    expired_manifests = set()
+    for i in expired_ids:
+        expired_manifests.update(table.snapshot(i).manifests)
+        st.delete(f"metadata/v{i:05d}.json")
     removed_manifests = []
-    for rel in st.list("metadata/manifests"):
-        if rel not in live_manifests:
-            st.delete(rel)
-            removed_manifests.append(rel)
+    for rel in sorted(expired_manifests - live_manifests):
+        st.delete(rel)
+        removed_manifests.append(rel)
+    if older_than_s > 0:
+        for rel in st.list("metadata/manifests"):
+            if rel not in live_manifests and rel not in expired_manifests:
+                if now - _safe_mtime(st, rel, now) >= older_than_s:
+                    st.delete(rel)
+                    removed_manifests.append(rel)
 
     # lineage checkpoints of committed jobs have served their purpose
     pruned_lineage = []

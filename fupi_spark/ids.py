@@ -7,9 +7,9 @@ exact same dense 1-based ids with a fully parallel plan:
 
 1. range-partition on the order key (one shuffle, boundaries from
    Spark's range sampler);
-2. persist the partitioned data — the sampler's boundaries are not
-   reproducible across re-evaluations, so the partitioning must be
-   computed exactly once;
+2. localCheckpoint the partitioned data — the sampler's boundaries are
+   not reproducible across re-evaluations, so the partitioning must be
+   computed exactly once (and never silently recomputed);
 3. per-partition physical position from monotonically_increasing_id
    (partition id in the upper 31 bits, row position in the lower 33 —
    no window, no second shuffle) after an in-partition sort;
@@ -52,11 +52,18 @@ def dense_ids(
     """
     spark = df.sparkSession
     num_parts = num_parts or spark.sparkContext.defaultParallelism
+    # localCheckpoint (not persist): the range sampler's boundaries are
+    # not reproducible, so a cache-eviction recompute would silently
+    # reshuffle rows while the offsets below stay frozen — truncating
+    # the lineage makes block loss a loud failure instead, and the
+    # materialized blocks are reclaimed by ContextCleaner once the
+    # returned DataFrame is dropped (a plain persist leaks the same way
+    # but adds the silent-recompute hazard).
     d = (
         df.repartitionByRange(num_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["_pid"]: r["cnt"]

@@ -284,6 +284,7 @@ def ingest_corpus(
     num_samples: int = 0,
     dim: int = EMB_DIM,
     compact_target_bytes: int = 32 << 20,
+    index_files: int = 8,
 ):
     """The full reference arc: scan → segment → embed → derive →
     create/append/compact both tables. Returns (texts_table,
@@ -323,22 +324,42 @@ def ingest_corpus(
 
     t_sent = meta.create_table(spark, f"{warehouse}/sentence_level", stats_spec=sent_stats)
     t_text = meta.create_table(spark, f"{warehouse}/text_level", stats_spec=text_stats)
-    meta.append(
-        t_sent,
+
+    # index layout: files carry CONTIGUOUS lsh_bucket ranges (staged
+    # partitionBy over a bucket-group column, like cluster.py's rewrite)
+    # so probe sets prune at the manifest level; in-file sort by bucket
+    # adds parquet row-group pruning. A plain hash repartition would
+    # scatter all 256 bucket values into every file and make the
+    # per-file [min,max] ranges useless. The group id is a pure
+    # derivation of lsh_bucket — no sampling job, no UDF re-evaluation.
+    from .ann import LSH_N_PLANES as _NB
+    from .compact import promote_partition_dirs
+
+    n_groups = max(1, min(index_files, 1 << _NB))
+    span = (1 << _NB) // n_groups
+    staging = t_sent.stage_dir("ingest")
+    (
         sentences.select(
             "text_id", "sentence_id", "sentence", "dense_embedding",
             "colbert_embedding", "lsh_bucket",
-        ).repartition(8, "lsh_bucket"),  # hash, not range: repartitionByRange's
-        # sampling job would re-run the embed UDFs (plan-gotcha #2)
-        job_id="ingest",
-        sort_within=["lsh_bucket", "sentence_id"],
+        )
+        .withColumn("_bgrp", (F.col("lsh_bucket") / span).cast("int"))
+        .repartition(n_groups, "_bgrp")
+        .sortWithinPartitions("_bgrp", "lsh_bucket", "sentence_id")
+        .write.mode("overwrite")
+        .partitionBy("_bgrp")
+        .parquet(staging)
     )
+    added = promote_partition_dirs(t_sent, staging, "ingest", "_bgrp")
+    t_sent.commit("append", added, summary={"job_id": "ingest"})
+
     meta.append(t_text, text_level, job_id="ingest")
-    # bucket-sorted compaction keeps row-groups bucket-clustered even
-    # when FFD merges bucket-pure files (file-level ranges widen; the
-    # in-file sort preserves row-group pruning)
-    compact(t_sent, target_bytes=compact_target_bytes, job_id="ingest-compact",
-            sort_within=["lsh_bucket", "sentence_id"])
+    # the indexed sentence table is NOT FFD-compacted: size-based
+    # packing merges arbitrary files and widens their bucket ranges
+    # back out. At scale every bucket group exceeds the target size and
+    # per-group compaction applies; the group count is the small-file
+    # control here. The text table keeps the reference's
+    # create→append→compact arc (I16-I18).
     compact(t_text, target_bytes=compact_target_bytes, job_id="ingest-compact")
     return t_text, t_sent
 

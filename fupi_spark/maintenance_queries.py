@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import register
+from .queries import _l2_sql, register
 from .search import embed_query
 
 SCRATCH = "/tmp/fupi_spark_mq"
@@ -313,20 +313,12 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E2E_QVEC = embed_query("quick brown fox")
 
 
-def _e2e_l2_duck(col: str, qvec: list[float]) -> str:
-    terms = []
-    for i, q in enumerate(qvec):
-        e = f"CAST({col}[{i + 1}] AS DOUBLE)"
-        terms.append(f"({e} - CAST({q!r} AS DOUBLE)) * ({e} - CAST({q!r} AS DOUBLE))")
-    return " + ".join(terms)
-
-
 @register(
     "fupi_ingest_search_e2e",
     oracle=f"""
 WITH hits AS (
   SELECT text_id, sentence_id, sentence,
-         {_e2e_l2_duck('dense_embedding', _E2E_QVEC)} AS distance
+         {_l2_sql('dense_embedding', _E2E_QVEC, 'duck')} AS distance
   FROM read_parquet('{SCRATCH}/fupi_e2e/wh/sentence_level/data/*.parquet')
   ORDER BY distance ASC, sentence_id ASC
   LIMIT 10

@@ -149,6 +149,13 @@ def merge_into(
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     data_cols = source.columns
 
+    # the source is consumed four times (validation, pruning, classify,
+    # rewrite/inserts); materialize it ONCE — a non-deterministic source
+    # (e.g. limit() over a multi-file scan) re-evaluated per pass would
+    # silently corrupt the merge (pass uniqueness, then insert a
+    # duplicate). The validation agg below forces materialization.
+    source = source.persist()
+
     # source key uniqueness (SQL MERGE errors on multiple matches)
     v = source.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct(MERGE_KEY).alias("d")
@@ -233,7 +240,10 @@ def merge_into(
         result = rewritten
 
     log = LineageLog(table, job_id)  # marks the job active before any write
-    added = table.write_datafiles(result, job_id, sort_within=[MERGE_KEY])
+    try:
+        added = table.write_datafiles(result, job_id, sort_within=[MERGE_KEY])
+    finally:
+        source.unpersist()
 
     for i, e in enumerate(added.to_pylist()):
         log.complete_unit(

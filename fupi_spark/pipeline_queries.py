@@ -302,7 +302,7 @@ def dedup_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-from .ann import hamming_probes, lsh_planes, query_bucket  # noqa: E402
+from .ann import bucket_expr, hamming_probes, lsh_planes, plane_dot_expr, query_bucket  # noqa: E402
 
 LSH_PLANES = lsh_planes(8, 64)
 
@@ -312,12 +312,7 @@ def _plane_dot_duck(p: list[int]) -> str:
 
 
 def _plane_dot_spark(p: list[int]):
-    wlit = F.array(*[F.lit(float(w)) for w in p])
-    return F.aggregate(
-        F.zip_with(F.col("embedding").cast("array<double>"), wlit, lambda x, q: x * q),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    return plane_dot_expr("embedding", p)  # canonical impl lives in ann.py
 
 
 @register(
@@ -341,11 +336,8 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     own bucket (plus Hamming-1 neighbors for recall). At 100 TB this
     turns ANN into a bucket-partitioned local problem."""
     emb = load(spark, sf_dir, "embeddings")
-    bucket = F.lit(0)
-    for i, p in enumerate(LSH_PLANES):
-        bucket = bucket + F.when(_plane_dot_spark(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return (
-        emb.select("vec_id", bucket.alias("bucket"))
+        emb.select("vec_id", bucket_expr("embedding", LSH_PLANES).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -396,11 +388,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_ann.py pins the floor). For guaranteed-recall ANN on
     structureless data see ann_quantized_rerank below."""
     emb = load(spark, sf_dir, "embeddings")
-    bucket = F.lit(0)
-    for i, p in enumerate(LSH_PLANES):
-        bucket = bucket + F.when(_plane_dot_spark(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return (
-        emb.withColumn("bucket", bucket)
+        emb.withColumn("bucket", bucket_expr("embedding", LSH_PLANES))
         .filter(F.col("bucket").isin(_LSH_PROBES))
         .select(
             "vec_id",

@@ -16,7 +16,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ingest import EMB_DIM, _embed_tokens, _load_model, colbert_token_vecs
+import pandas as pd
+
+from .ingest import EMB_DIM, _embed_batch, _load_embedder, _load_model, colbert_token_vecs
 from .meta import Table
 
 
@@ -26,10 +28,16 @@ def embed_query(text: str, dim: int = EMB_DIM, colbert: bool = False) -> list[fl
     colbert branch mean-pools the per-token matrix, fupi/utils.py:210 +
     fupi/embedders.py:86-89). The mean is a left fold over tokens then
     one divide — the exact arithmetic the engine-side centroid
-    reduction uses."""
-    table = _load_model(dim)
+    reduction uses.
+
+    The dense path goes through the same guarded kernel seam as the
+    ingest-side embedder (FUPI_ONNX_MODEL): query and document vectors
+    must come from the same space whichever kernel is active. The
+    colbert matrix is stub-only on both sides."""
     if not colbert:
-        return _embed_tokens([text], table)[0]
+        kind, handle = _load_embedder(dim)
+        return _embed_batch(kind, handle, pd.Series([text]), dim)[0]
+    table = _load_model(dim)
     vecs = colbert_token_vecs(text, table).astype(np.float64)
     acc = np.zeros(dim)
     for v in vecs:

@@ -36,12 +36,15 @@ def test_lsh_topk_sublinear_and_floor(spark, sf_dir):
     in the query docstring) but must stay above the measured floor."""
     from pyspark.sql import functions as F
 
+    from fupi_spark.ann import bucket_expr
+
     true20, n = _brute_top20(sf_dir)
     emb = Q.load(spark, sf_dir, "embeddings")
-    bucket = F.lit(0)
-    for i, p in enumerate(P.LSH_PLANES):
-        bucket = bucket + F.when(P._plane_dot_spark(p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    cands = emb.withColumn("bucket", bucket).filter(F.col("bucket").isin(P._LSH_PROBES)).count()
+    cands = (
+        emb.withColumn("bucket", bucket_expr("embedding", P.LSH_PLANES))
+        .filter(F.col("bucket").isin(P._LSH_PROBES))
+        .count()
+    )
     assert cands < 0.3 * n, f"candidate set not sublinear: {cands}/{n}"
 
     got = {r.vec_id for r in Q.QUERIES["ann_lsh_topk"](spark, sf_dir).collect()}

@@ -109,6 +109,11 @@ def test_search_lsh_probe_matches_bucket_restricted_oracle(spark, corpus):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "lsh_bucket" in plan  # the probe filter is in the plan
 
+    # the contiguous bucket-group file layout makes the probe prune at
+    # the manifest level
+    _df, files_read, files_total = t_sent.scan_pruned_in("lsh_bucket", probes)
+    assert files_read < files_total, (files_read, files_total)
+
     got = res.toPandas()
 
     sent_pdf = t_sent.scan().toPandas()
