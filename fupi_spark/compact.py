@@ -122,13 +122,30 @@ def compact(
     min_file_bytes: int | None = None,
     job_id: str | None = None,
     sort_within: list[str] | None = None,
+    group_fn=None,
 ) -> Snapshot | None:
     """Run (or resume) a compaction job. Returns the new snapshot, or
-    None when nothing needs compacting."""
+    None when nothing needs compacting.
+
+    ``group_fn(entry) -> hashable``: clustering-aware packing — bins
+    never mix files from different groups, so a table laid out by a
+    clustered column (e.g. the LSH bucket-group index) keeps its
+    per-file stat ranges tight through compaction. Size-blind FFD
+    would merge arbitrary files and widen every range back out."""
     spark = table.spark
     base = table.current_snapshot()
     entries = table.manifest_entries(base).to_pylist()
-    bins = [b for b in ffd_pack(entries, target_bytes, min_file_bytes) if len(b.files) > 1]
+    if group_fn is None:
+        bins = [b for b in ffd_pack(entries, target_bytes, min_file_bytes) if len(b.files) > 1]
+    else:
+        groups: dict = {}
+        for e in entries:
+            groups.setdefault(group_fn(e), []).append(e)
+        bins = []
+        for g in sorted(groups, key=repr):
+            for b in ffd_pack(groups[g], target_bytes, min_file_bytes):
+                if len(b.files) > 1:
+                    bins.append(Bin(len(bins), b.files))
     if not bins:
         return None
 

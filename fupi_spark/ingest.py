@@ -354,12 +354,17 @@ def ingest_corpus(
     t_sent.commit("append", added, summary={"job_id": "ingest"})
 
     meta.append(t_text, text_level, job_id="ingest")
-    # the indexed sentence table is NOT FFD-compacted: size-based
-    # packing merges arbitrary files and widens their bucket ranges
-    # back out. At scale every bucket group exceeds the target size and
-    # per-group compaction applies; the group count is the small-file
-    # control here. The text table keeps the reference's
+    # group-aware compaction for the indexed sentence table: bins never
+    # mix bucket groups, so per-file lsh_bucket ranges (and probe
+    # pruning) survive the rewrite. The text table keeps the plain
     # create→append→compact arc (I16-I18).
+    compact(
+        t_sent,
+        target_bytes=compact_target_bytes,
+        job_id="ingest-compact",
+        sort_within=["lsh_bucket", "sentence_id"],
+        group_fn=lambda e: e["min_lsh_bucket"] // span if e["min_lsh_bucket"] is not None else -1,
+    )
     compact(t_text, target_bytes=compact_target_bytes, job_id="ingest-compact")
     return t_text, t_sent
 

@@ -309,6 +309,46 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lakehouse_incremental_scan",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_clips,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+       CAST(SUM(octet_length(bytes)) AS BIGINT) AS sum_payload_bytes
+FROM read_parquet('{SCRATCH}/inc_sidecar/*.parquet')
+""",
+)
+def lakehouse_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan: three appends, consume the changelog
+    from after the first — the result must equal exactly the later two
+    batches. The oracle reads a sidecar copy of those batches written
+    through an independent path (plain parquet write vs manifest-diff
+    scan)."""
+    from . import meta
+    from .synth import synth_clips
+
+    root = f"{SCRATCH}/incremental"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(f"{SCRATCH}/inc_sidecar", ignore_errors=True)
+    t = meta.create_table(spark, root)
+    b1 = synth_clips(spark, 300, seed=1, dur_range_ms=(50, 100))
+    b2 = synth_clips(spark, 400, seed=2, dur_range_ms=(50, 100))
+    b3 = synth_clips(spark, 500, seed=3, dur_range_ms=(50, 100))
+    meta.append(t, b1, job_id="b1", parts=4)
+    baseline = t.current_snapshot().snapshot_id
+    meta.append(t, b2, job_id="b2", parts=4)
+    meta.append(t, b3, job_id="b3", parts=4)
+    b2.unionByName(b3).write.mode("overwrite").parquet(f"{SCRATCH}/inc_sidecar")
+    inc = t.incremental_scan(baseline)
+    return inc.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("clip_id").alias("n_clips"),
+        F.sum("dur_ms").alias("sum_dur_ms"),
+        F.sum(F.length("bytes")).alias("sum_payload_bytes"),
+    )
+
+
 # deterministic at import time: the stub embedder is seeded (dim 16)
 _E2E_QVEC = embed_query("quick brown fox")
 

@@ -257,6 +257,32 @@ class Table:
         df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df, len(keep), len(entries)
 
+    def incremental_scan(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows appended between two snapshots (Iceberg-style
+        incremental append scan — the changelog-consumption primitive
+        for downstream pipelines): the scan covers exactly the data
+        files added in (from, to]. Only valid across append snapshots;
+        a replacing operation in the range (compact/cluster/merge)
+        carries old rows into new files, so a file-level changelog
+        would double-count — raises ValueError, callers re-baseline."""
+        to_id = to_snapshot_id or self.current_snapshot().snapshot_id
+        for i in self.snapshot_ids():
+            if from_snapshot_id < i <= to_id:
+                op = self.snapshot(i).operation
+                if op not in ("append", "create"):
+                    raise ValueError(
+                        f"incremental scan crosses a '{op}' snapshot (v{i}); "
+                        "file-level changelog is append-only — re-baseline"
+                    )
+        before = set(self.live_files(self.snapshot(from_snapshot_id)))
+        after = self.live_files(self.snapshot(to_id))
+        added = [p for p in after if p not in before]
+        if not added:
+            return self.spark.createDataFrame([], self.scan(to_id).schema)
+        return self.spark.read.parquet(*[f"{self.root}/{p}" for p in added])
+
     def scan_pruned_in(
         self, col: str, values: list, snapshot_id: int | None = None
     ) -> tuple[DataFrame, int, int]:

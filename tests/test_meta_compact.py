@@ -202,3 +202,62 @@ def test_scan_pruned_skips_files_after_clustering(spark, tmp_table_dir):
     assert got == expected  # correctness regardless of skipping
     assert read_before == total_before  # random layout: no skipping possible
     assert read_after < total_after  # clustered layout: files skipped
+
+
+def test_group_aware_compaction_preserves_ranges(spark, tmp_table_dir):
+    """group_fn compaction: bins never mix groups, per-file stat ranges
+    stay within their group, and content survives."""
+    from fupi_spark.synth import synth_clips
+
+    t = meta.create_table(spark, tmp_table_dir)
+    # two disjoint sr_hz groups, several small files each
+    a = synth_clips(spark, 120, dur_range_ms=(50, 80)).withColumn(
+        "sr_hz", F_lit_int(8000)
+    )
+    b = synth_clips(spark, 120, seed=9, dur_range_ms=(50, 80)).withColumn(
+        "sr_hz", F_lit_int(48000)
+    )
+    meta.append(t, a, job_id="a", parts=6)
+    meta.append(t, b, job_id="b", parts=6)
+    before = clip_multiset(t.scan())
+    assert len(t.live_files()) == 12
+
+    snap = compact(
+        t, target_bytes=1 << 30, job_id="c-grp", group_fn=lambda e: e["min_sr_hz"]
+    )
+    assert snap is not None
+    entries = t.manifest_entries().to_pylist()
+    assert len(entries) == 2  # one bin per group, never merged across
+    for e in entries:
+        assert e["min_sr_hz"] == e["max_sr_hz"]  # ranges stay group-pure
+    assert clip_multiset(t.scan()) == before
+
+
+def F_lit_int(v):
+    from pyspark.sql import functions as F
+
+    return F.lit(v).cast("int")
+
+
+def test_incremental_scan_append_only(spark, tmp_table_dir):
+    from fupi_spark.synth import synth_clips
+
+    t = meta.create_table(spark, tmp_table_dir)
+    meta.append(t, synth_clips(spark, 100, seed=1, dur_range_ms=(50, 70)), job_id="b1", parts=2)
+    base = t.current_snapshot().snapshot_id
+    meta.append(t, synth_clips(spark, 60, seed=2, dur_range_ms=(50, 70)), job_id="b2", parts=2)
+    inc = t.incremental_scan(base)
+    assert inc.count() == 60
+    # exactly the second batch
+    got = {r.clip_id for r in inc.select("clip_id").collect()}
+    want = {r.clip_id for r in synth_clips(spark, 60, seed=2, dur_range_ms=(50, 70)).select("clip_id").collect()}
+    assert got == want
+    # empty window
+    head = t.current_snapshot().snapshot_id
+    assert t.incremental_scan(head).count() == 0
+    # a replacing snapshot in the range is refused
+    compact(t, target_bytes=1 << 30, job_id="c-x")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="re-baseline"):
+        t.incremental_scan(base)
