@@ -151,6 +151,14 @@ def expire_snapshots(
             st.delete_prefix(f"_lineage/{j}")
             pruned_lineage.append(j)
 
+    # stale staging of committed jobs (a crash between write and
+    # promote leaves it; resume hygiene also wipes it, but the job may
+    # never re-run). In-flight jobs' staging is never touched.
+    staging_jobs = sorted({p.split("/", 2)[1] for p in st.list("_staging")})
+    for j in staging_jobs:
+        if j in committed_jobs:
+            st.delete_prefix(f"_staging/{j}")
+
     return {
         "expired_snapshots": expired_ids,
         "retained_snapshots": retained_ids,

@@ -546,6 +546,26 @@ def load_table(spark: SparkSession, root: str, stats_spec=None, storage=None) ->
     return t
 
 
+def rollback(table: Table, snapshot_id: int) -> Snapshot:
+    """Roll the table head back to an earlier snapshot's state (Iceberg
+    rollback parity): a NEW snapshot whose live set is the target's —
+    history is never rewritten, so time travel and concurrent readers
+    stay consistent, and the optimistic claim arbitrates races like any
+    other commit."""
+    target = table.snapshot(snapshot_id)
+    entries = table.manifest_entries(target)
+    current = table.current_snapshot()
+    removed = set(table.live_files(current))
+    return table.commit(
+        "rollback",
+        entries,
+        removed_paths=removed,
+        base=current,
+        input_paths=set(),  # depends on no current file's content
+        summary={"rolled_back_to": snapshot_id},
+    )
+
+
 def append(
     table: Table,
     df: DataFrame,

@@ -221,3 +221,50 @@ def test_null_stats_are_unbounded(spark, tmp_table_dir):
     src = t.scan().limit(5)
     touched = plan_touched_files(t, src, t.current_snapshot())
     assert entries2[0]["file_path"] in {e["file_path"] for e in touched}
+
+
+def test_rollback_restores_previous_state(spark, tmp_table_dir):
+    from pyspark.sql import functions as F
+
+    t = make_table(spark, tmp_table_dir, n=80, parts=4)
+    before = clip_multiset(t.scan())
+    target = t.current_snapshot().snapshot_id
+
+    upd = (
+        t.scan()
+        .orderBy("clip_id")
+        .limit(10)
+        .withColumn("transcript", F.lit("mutated"))
+        .cache()
+    )
+    upd.count()
+    merge_into(t, upd, job_id="m-bad")
+    assert clip_multiset(t.scan()) != before
+
+    snap = meta.rollback(t, target)
+    assert snap.operation == "rollback"
+    assert clip_multiset(t.scan()) == before
+    # history intact: the merge snapshot is still time-travelable
+    ops = [s["operation"] for s in t.lineage_chain()]
+    assert ops == ["create", "append", "merge", "rollback"]
+
+
+def test_expire_cleans_committed_jobs_stale_staging(spark, tmp_table_dir):
+    import os
+
+    t = make_table(spark, tmp_table_dir, n=40, parts=2)
+    # committed job "seed" left stale staging (simulated crash leftovers)
+    stale = f"{t.root}/_staging/seed/part-junk.parquet"
+    os.makedirs(os.path.dirname(stale), exist_ok=True)
+    with open(stale, "wb") as f:
+        f.write(b"junk")
+    # in-flight job staging must be preserved
+    live = f"{t.root}/_staging/inflight-job/part-live.parquet"
+    os.makedirs(os.path.dirname(live), exist_ok=True)
+    with open(live, "wb") as f:
+        f.write(b"live")
+    t.mark_job_active("inflight-job")
+
+    expire_snapshots(t, retain_last=2)
+    assert not os.path.exists(stale)
+    assert os.path.exists(live)
