@@ -13,10 +13,11 @@ Spark re-expression:
 - I4 scrub: built-in regexp_replace — the reference registered a Python
   UDF for this (fupi/data.py:38,54-55); no UDF needed in Spark;
 - I5/I6 filters + limit: Catalyst-pushed predicates;
-- I2 ids: row_number window (dense ids like CREATE SEQUENCE);
+- I2 ids: partition-offset dense ids (ids.py — no single-reducer
+  window), same ids as CREATE SEQUENCE;
 - I8 segmentation: regex splitter in a vectorized pandas UDF →
-  posexplode; global sentence_id via a window ordered (text_id, pos)
-  exactly like the reference's running counter (fupi/data.py:93);
+  posexplode; global sentence_id over (text_id, pos) exactly like the
+  reference's running counter (fupi/data.py:93);
 - I9/I10 batching + model: an *iterator* pandas UDF — the model handle
   is created once per worker before the batch loop (the reference keeps
   one ONNX session process-wide, fupi/utils.py:83-105); batch size is
@@ -31,10 +32,10 @@ Spark re-expression:
 - I16-I18: create/overwrite + append + compact through the metadata
   layer (meta.py/compact.py), reproducing Lance's version chain.
 
-Scale notes: one shuffle for the sentence-id window (global dense ids —
-the reference's semantics; drop to monotonically_increasing_id when
-density isn't required), one for the centroid groupBy; the model UDF is
-the only Python hop and it's Arrow-batched end to end.
+Scale notes: one range shuffle for the sentence ids (global dense ids —
+the reference's semantics), one shuffle for the centroid groupBy, one
+for the bucket-group index layout; the model UDF is the only Python hop
+and it's Arrow-batched end to end.
 """
 
 from __future__ import annotations
