@@ -244,7 +244,9 @@ def _row_chunks(pdf: pd.DataFrame, max_payload_bytes: int) -> Iterator[pd.DataFr
     start = 0
     while start < len(pdf):
         base = cum[start - 1] if start else 0
-        end = int(np.searchsorted(cum, base + max_payload_bytes, side="left")) + 1
+        # last row with cumulative payload ≤ budget; only a single
+        # oversized row may exceed it (the start+1 floor)
+        end = int(np.searchsorted(cum, base + max_payload_bytes, side="right"))
         end = max(end, start + 1)
         yield pdf.iloc[start:end]
         start = end

@@ -25,6 +25,16 @@ job (lineage dir present, no committing snapshot), and (c) older than
 disables the age gate — safe here because of (b), but production runs
 against writers that skip mark_job_active should set an age).
 
+Crash recovery: protection (b) alone would shield a crashed job's
+files forever (its lineage marker never commits and never ages out) —
+an unbounded storage leak at real crash rates. ``abandoned_after_s``
+bounds it: an uncommitted job whose *newest* lineage-checkpoint mtime
+is older than the threshold is declared abandoned — its files lose
+in-flight protection (falling through to the normal orphan rules) and
+its lineage + staging areas are pruned. A live job refreshes its
+lineage mtimes every completed unit, so only a genuinely dead job can
+age out.
+
 Expiry also prunes old snapshot JSONs, unreferenced manifest files and
 the lineage dirs of committed jobs (checkpoints are only needed until
 the commit lands). The newest snapshot is always retained.
@@ -58,10 +68,15 @@ def expire_snapshots(
     retain_last: int = 2,
     older_than_s: float = 0.0,
     driver_threshold: int = 1_000_000,
+    abandoned_after_s: float = 0.0,
 ) -> dict:
     """Expire all but the last ``retain_last`` snapshots, then GC data
     files and manifests unreachable from the retained set. Returns a
-    report of everything deleted."""
+    report of everything deleted.
+
+    ``abandoned_after_s`` > 0: uncommitted jobs whose newest lineage
+    mtime exceeds the threshold are treated as crashed — unprotected
+    and their lineage/staging pruned (see module docstring)."""
     now = time.time()
     ids = table.snapshot_ids()
     retained_ids = ids[-max(1, retain_last):]
@@ -79,8 +94,21 @@ def expire_snapshots(
     st = table.storage
     manifest_paths = sorted({m for s in retained for m in s.manifests})
     listing = st.list("data")
-    lineage_jobs = sorted({p.split("/", 2)[1] for p in st.list("_lineage")})
+    lineage_listing = st.list("_lineage")
+    lineage_jobs = sorted({p.split("/", 2)[1] for p in lineage_listing})
     active_jobs = [j for j in lineage_jobs if j not in committed_jobs]
+
+    # crash recovery: an uncommitted job whose newest lineage mtime is
+    # older than abandoned_after_s is dead, not in flight — drop its
+    # protection so its promoted files fall through to the orphan rules
+    abandoned_jobs: list[str] = []
+    if abandoned_after_s > 0:
+        for j in list(active_jobs):
+            marks = [p for p in lineage_listing if p.split("/", 2)[1] == j]
+            newest = max((_safe_mtime(st, p, now) for p in marks), default=now)
+            if now - newest >= abandoned_after_s:
+                active_jobs.remove(j)
+                abandoned_jobs.append(j)
 
     def protected(rel: str) -> bool:
         name = rel.split("/", 1)[1]
@@ -144,20 +172,35 @@ def expire_snapshots(
                     st.delete(rel)
                     removed_manifests.append(rel)
 
-    # lineage checkpoints of committed jobs have served their purpose
+    # lineage checkpoints of committed jobs have served their purpose;
+    # abandoned (crashed, aged-out) jobs' checkpoints are dead weight too
     pruned_lineage = []
     for j in lineage_jobs:
-        if j in committed_jobs:
+        if j in committed_jobs or j in abandoned_jobs:
             st.delete_prefix(f"_lineage/{j}")
             pruned_lineage.append(j)
 
     # stale staging of committed jobs (a crash between write and
     # promote leaves it; resume hygiene also wipes it, but the job may
-    # never re-run). In-flight jobs' staging is never touched.
+    # never re-run). In-flight jobs' staging is never touched;
+    # abandoned jobs' staging is reclaimed with their lineage.
     staging_jobs = sorted({p.split("/", 2)[1] for p in st.list("_staging")})
     for j in staging_jobs:
-        if j in committed_jobs:
+        if j in committed_jobs or j in abandoned_jobs:
             st.delete_prefix(f"_staging/{j}")
+
+    # age-gated sweep of crash-leftover temp objects: Storage.put's
+    # '.tmp-*' files (crash between write and publish) and any legacy
+    # root-level '.manifest-*' staging temps. Never younger than the
+    # gate — a concurrent writer's temp is mid-publish.
+    tmp_gate = older_than_s if older_than_s > 0 else 3600.0
+    swept_tmp = []
+    for prefix in ("metadata", "_lineage", "_staging"):
+        for rel in st.list(prefix):
+            if rel.rsplit("/", 1)[-1].startswith(".tmp-"):
+                if now - _safe_mtime(st, rel, now) >= tmp_gate:
+                    st.delete(rel)
+                    swept_tmp.append(rel)
 
     return {
         "expired_snapshots": expired_ids,
@@ -166,14 +209,21 @@ def expire_snapshots(
         "deleted_manifests": removed_manifests,
         "pruned_lineage_jobs": pruned_lineage,
         "active_jobs_protected": active_jobs,
+        "abandoned_jobs": abandoned_jobs,
+        "swept_tmp": swept_tmp,
     }
 
 
-def gc_orphans(table: Table, older_than_s: float = 0.0) -> list[str]:
+def gc_orphans(
+    table: Table, older_than_s: float = 0.0, abandoned_after_s: float = 0.0
+) -> list[str]:
     """GC-only entry point: remove data files unreachable from ANY
     existing snapshot (e.g. output of crashed jobs), keeping every
     snapshot intact."""
     report = expire_snapshots(
-        table, retain_last=len(table.snapshot_ids()), older_than_s=older_than_s
+        table,
+        retain_last=len(table.snapshot_ids()),
+        older_than_s=older_than_s,
+        abandoned_after_s=abandoned_after_s,
     )
     return report["deleted_files"]

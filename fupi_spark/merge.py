@@ -136,6 +136,7 @@ def merge_into(
     when_not_matched: str = "insert",
     not_matched_by_source: str | None = None,
     broadcast_max_rows: int = 100_000,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> Snapshot:
     """Upsert / delete-on-match ``source`` into the table, CoW-style.
 
@@ -156,9 +157,15 @@ def merge_into(
     # duplicate). The validation agg below forces materialization.
     source = source.persist()
 
-    # source key uniqueness (SQL MERGE errors on multiple matches)
+    # source key uniqueness (SQL MERGE errors on multiple matches) +
+    # payload size estimate for the broadcast decision, in one pass
+    size_agg = (
+        F.sum(F.octet_length("bytes")) if "bytes" in data_cols else F.lit(0)
+    )
     v = source.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct(MERGE_KEY).alias("d")
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(MERGE_KEY).alias("d"),
+        size_agg.alias("payload_bytes"),
     ).collect()[0]
     if v["n"] != v["d"]:
         raise ValueError(
@@ -166,6 +173,7 @@ def merge_into(
             f"({v['n']} rows, {v['d']} distinct keys)"
         )
     src_rows = v["n"]
+    src_bytes = int(v["payload_bytes"] or 0)
 
     if not_matched_by_source is not None:
         # NOT MATCHED BY SOURCE clauses act on every target row, so the
@@ -202,10 +210,15 @@ def merge_into(
 
     # -- rewrite: payload attach. Broadcast the source structs when
     # small so touched rows stream scan→write with no shuffle at all.
+    # Gated on MEASURED payload bytes, not just rows: the struct carries
+    # the audio `bytes` column, and 100k rows of ~1 MB clips is ~100 GB
+    # — past Spark's 8 GB broadcast hard limit and any driver heap. Over
+    # either gate, fall through to AQE's shuffle join (keys + payload
+    # shuffle once — the correct plan at that size).
     srcj = source.select(
         F.col(MERGE_KEY).alias("_sk"), F.struct(*data_cols).alias("_src")
     )
-    if src_rows <= broadcast_max_rows:
+    if src_rows <= broadcast_max_rows and src_bytes <= broadcast_max_bytes:
         srcj = F.broadcast(srcj)
 
     is_matched = F.col("_sk").isNotNull()

@@ -25,8 +25,10 @@ no-atomic-rename object-store emulation.
 
 Visibility is manifest-driven: a data file not referenced by the
 current snapshot does not exist to readers — which makes failed jobs
-harmless (their staging/data output becomes orphan files collected by
-expire.gc_orphans).
+harmless: their staging/data output becomes orphan files collected by
+expire.gc_orphans once the job ages past ``abandoned_after_s``
+(in-flight jobs are protected by their lineage marker; a crashed job's
+marker ages out, see expire.py).
 
 Concurrency: optimistic. A committer computes (removed, added) against
 its base snapshot, then claims metadata/v{n+1}.json with a conditional
@@ -211,9 +213,14 @@ class Table:
         return self.manifest_entries(snapshot).column("file_path").to_pylist()
 
     def write_manifest(self, entries: pa.Table) -> str:
+        # staged under _staging/ so a crash between write and promote
+        # leaves the temp where expire's committed-job sweep and the
+        # age-gated '.tmp-*' sweep can reclaim it (a root-level temp
+        # would leak forever — no GC path lists the table root)
         rel = f"metadata/manifests/{uuid.uuid4().hex}.parquet"
-        tmp = f"{self.root}/.manifest-{uuid.uuid4().hex}.parquet"
-        os.makedirs(self.root, exist_ok=True)
+        tmp_dir = f"{self.root}/_staging/.manifest-tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = f"{tmp_dir}/.tmp-{uuid.uuid4().hex}.parquet"
         pq.write_table(entries, tmp)
         self.storage.promote(tmp, rel)
         return rel
