@@ -284,13 +284,23 @@ def _verify_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield _verify_chunk(pdf)
 
 
+def _decode_safe(buf: bytes, codec: str) -> np.ndarray:
+    """Decode that survives corrupted containers (a torn header must
+    yield a failed row, not a crashed task): returns an empty array,
+    which the length gate then marks pcm_ok=False."""
+    try:
+        return _decode_one(buf, codec)
+    except (ValueError, struct.error):
+        return np.empty(0, np.int16)
+
+
 def _verify_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
     n_rows = len(pdf)
     cids = pdf["clip_id"].tolist()
     srs = pdf["sr_hz"].to_numpy().astype(np.int64)
     durs = pdf["dur_ms"].to_numpy().astype(np.int64)
     ref, n_ref, offs_ref = synth_pcm_concat(cids, srs, durs)
-    decs = [_decode_one(b, c) for b, c in zip(pdf["bytes"], pdf["codec"])]
+    decs = [_decode_safe(b, c) for b, c in zip(pdf["bytes"], pdf["codec"])]
     n_dec = np.array([len(d) for d in decs], np.int64)
     m = np.minimum(n_dec, n_ref)
     moffs = np.zeros(n_rows + 1, np.int64)
@@ -335,6 +345,35 @@ def verify_clips(clips: DataFrame) -> DataFrame:
     binary payloads can't OOM an executor."""
     cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec"]
     return clips.select(*cols).mapInPandas(_verify_batches, schema=VERIFY_SCHEMA)
+
+
+VERIFY_CRC_SCHEMA = T.StructType(
+    list(VERIFY_SCHEMA.fields) + [T.StructField("crc_ok", T.BooleanType(), True)]
+)
+
+
+def _verify_batches_crc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """SNR kernel with the JVM-computed checksum verdict carried
+    through (integrity.verify_table's sampled path)."""
+    for full in it:
+        if len(full) == 0:
+            yield pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in VERIFY_CRC_SCHEMA.fields}
+            )
+            continue
+        for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+            out = _verify_chunk(pdf)
+            out["crc_ok"] = pdf["_crc_ok"].to_numpy()
+            yield out
+
+
+def verify_clips_with_crc(clips: DataFrame) -> DataFrame:
+    """As verify_clips, for inputs carrying a precomputed boolean
+    ``_crc_ok`` column (see integrity.verify_table)."""
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "_crc_ok"]
+    return clips.select(*cols).mapInPandas(
+        _verify_batches_crc, schema=VERIFY_CRC_SCHEMA
+    )
 
 
 FEATURES_SCHEMA = T.StructType(

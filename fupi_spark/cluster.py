@@ -117,9 +117,15 @@ def cluster(
     curve: str = "zorder",
     target_bytes: int = 128 * 1024 * 1024,
     job_id: str | None = None,
-    salt_buckets: int = 0,
+    salt_buckets: int | None = None,
 ) -> Snapshot:
-    """Full clustering rewrite of the current snapshot."""
+    """Full clustering rewrite of the current snapshot.
+
+    ``salt_buckets``: None = AUTO — salting engages when the quantile
+    boundaries collapse (duplicate boundary values are the signature of
+    a degenerate hot key: one curve value holds more than a bucket's
+    worth of rows, and no range split can divide it). 0 = off, N>1 =
+    forced salt factor."""
     assert curve in ("zorder", "hilbert")
     spark = table.spark
     base = table.current_snapshot()
@@ -138,16 +144,37 @@ def cluster(
     )
     if n_out > 1:
         qs = [i / n_out for i in range(1, n_out)]
-        boundaries = sorted(set(int(b) for b in keys_only.approxQuantile("_zval", qs, 0.001)))
+        raw_q = keys_only.approxQuantile("_zval", qs, 0.001)
+        boundaries = sorted(set(int(b) for b in raw_q))
     else:
+        raw_q = []
         boundaries = []
 
-    # pass 2: the rewrite shuffle
-    df = table.scan().withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
+    # AUTO skew salting: duplicate quantile boundaries mean one curve
+    # value owns more than a bucket's worth of rows — range splitting
+    # cannot divide it, so that bucket (and its single write task)
+    # would absorb the whole hot key. Salt by the collapse factor: the
+    # hot bucket fans out over `salt` hash sub-buckets of clip_id,
+    # restoring bounded task/file sizes at the cost of curve-order
+    # granularity within the salted bucket.
+    effective_salt = 0 if salt_buckets is None else salt_buckets
+    if salt_buckets is None and n_out > 1:
+        collapsed = len(raw_q) - len(boundaries)
+        if collapsed > max(1, n_out // 10):
+            effective_salt = max(2, -(-(len(raw_q) + 1) // (len(boundaries) + 1)))
+
+    # pass 2: the rewrite shuffle (internal columns — the per-row _crc —
+    # must ride the rewrite so the clustered files keep their integrity
+    # column without touching the payload)
+    df = table.scan(include_internal=True).withColumn(
+        "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
+    )
     bucket = _bucket_expr(boundaries) if boundaries else F.lit(0)
-    if salt_buckets > 1:
-        # degenerate-key escape hatch: spread one dominant key value
-        bucket = bucket * salt_buckets + F.pmod(F.hash("clip_id"), F.lit(salt_buckets))
+    if effective_salt > 1:
+        # spread each range bucket over hash sub-buckets of clip_id
+        bucket = bucket * effective_salt + F.pmod(
+            F.hash("clip_id"), F.lit(effective_salt)
+        )
     df = df.withColumn("_bucket", bucket)
 
     staging = table.stage_dir(job_id)
@@ -155,7 +182,7 @@ def cluster(
         # _bucket leads the sort so the partitionBy writer's required
         # ordering is already satisfied — otherwise it inserts its own
         # (unstable) sort by _bucket and destroys the curve order
-        df.repartition(len(boundaries) + 1, F.col("_bucket"))
+        df.repartition((len(boundaries) + 1) * max(effective_salt, 1), F.col("_bucket"))
         .sortWithinPartitions("_bucket", "_zval", "clip_id")
         .drop("_zval")
         .write.mode("overwrite")
@@ -182,5 +209,10 @@ def cluster(
         added,
         removed_paths=set(removed),
         base=base,
-        summary={"job_id": job_id, "curve": curve, "output_files": added.num_rows},
+        summary={
+            "job_id": job_id,
+            "curve": curve,
+            "output_files": added.num_rows,
+            "salt_buckets": effective_salt,
+        },
     )

@@ -108,6 +108,7 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
             "file_path": p,
             "row_count": r["row_count"],
             "byte_size": table.storage.size(p),
+            "checksum_bytes": r["checksum_bytes"],
         }
         for c in table.stats_cols:
             e[f"min_{c}"] = r[f"min_{c}"]
@@ -245,6 +246,10 @@ def compact(
     for r in recs:
         ins = [by_path[p] for p in r["files_in"]]
         outs = r["files_out"]
+        in_sums = [x["checksum_bytes"] for x in ins]
+        folded_sum = (
+            None if any(v is None for v in in_sums) else sum(in_sums)
+        )
         for j, p in enumerate(outs):
             e = {
                 "file_path": p,
@@ -252,6 +257,12 @@ def compact(
                 # multi-file bins are rare (hash-collision split); rows
                 # per out-file are only exact when the bin is one file
                 "row_count": r["rows"] if len(outs) == 1 else None,
+                # checksum folds like row_count: compaction preserves
+                # rows exactly, so the bin sum is the input sum; a
+                # multi-file split leaves per-file sums unknown (NULL →
+                # verify_table treats the file normally, per-row _crc
+                # still covers every row)
+                "checksum_bytes": folded_sum if len(outs) == 1 else None,
             }
             for c in table.stats_cols:
                 lo = [x[f"min_{c}"] for x in ins]

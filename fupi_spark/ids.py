@@ -15,8 +15,12 @@ exact same dense 1-based ids with a fully parallel plan:
    no window, no second shuffle) after an in-partition sort;
 4. per-partition counts (one tiny aggregation: n_partitions rows to
    the driver), prefix-summed into offsets;
-5. id = offset[partition] + position + 1 via a literal map (swap for a
-   broadcast join beyond ~10^4 partitions).
+5. id = offset[partition] + position + 1. Offsets are applied via a
+   literal map when small; beyond ``MAP_LITERAL_MAX`` partitions the
+   map becomes a broadcast-joined offsets DataFrame (a 10^12-row run
+   wants ≥10^5 partitions — a plan-embedded literal of that size blows
+   up analysis/codegen, while a broadcast of n_partitions (int,long)
+   rows is a few MB).
 
 Requires the order key to be unique (use a tiebreaker column, as every
 query in this repo already does); equal keys could otherwise straddle
@@ -33,6 +37,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _POS_MASK = (1 << 33) - 1
+
+#: above this many partitions the literal offset map becomes a
+#: broadcast-joined DataFrame (overridable for tests)
+MAP_LITERAL_MAX = 4096
 
 
 def dense_ids(
@@ -72,16 +80,24 @@ def dense_ids(
         .collect()
     }
     acc = 0
-    offset_entries = []
+    offsets: list[tuple[int, int]] = []
     for pid in sorted(counts):
-        offset_entries += [F.lit(int(pid)), F.lit(acc)]
+        offsets.append((int(pid), acc))
         acc += counts[pid]
-    omap = F.create_map(*offset_entries) if offset_entries else F.create_map()
-    return d.withColumn(
-        id_col,
-        (
-            omap[F.shiftright("_mid", 33)]
-            + F.col("_mid").bitwiseAND(F.lit(_POS_MASK))
-            + 1
-        ).cast("long"),
-    ).drop("_mid")
+    pos = F.col("_mid").bitwiseAND(F.lit(_POS_MASK))
+    if len(offsets) <= MAP_LITERAL_MAX:
+        entries = [F.lit(v) for pair in offsets for v in pair]
+        omap = F.create_map(*entries) if entries else F.create_map()
+        return d.withColumn(
+            id_col,
+            (omap[F.shiftright("_mid", 33)] + pos + 1).cast("long"),
+        ).drop("_mid")
+    # large-partition-count path: broadcast-join the offsets (the plan
+    # stays O(1) in n_partitions; the join key is the partition id)
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    d = d.withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+    return (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, (F.col("_offset") + pos + 1).cast("long"))
+        .drop("_mid", "_pid", "_offset")
+    )

@@ -280,6 +280,64 @@ def audio_verify_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_verify_sampled",
+    oracle=f"""
+SELECT CAST(SUM(CASE WHEN in_bad_file OR dur_ms % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_checked,
+       CAST(SUM(CASE WHEN in_bad_file THEN 1 ELSE 0 END) AS BIGINT) AS n_crc_bad,
+       CAST(SUM(CASE WHEN in_bad_file THEN 1 ELSE 0 END) AS BIGINT) AS n_pcm_bad,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM read_parquet('{SCRATCH}/verify_sampled_meta/*.parquet')
+""",
+)
+def audio_verify_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for verification (integrity.py): write-time
+    per-row CRC + sampled SNR decode. Corruption is planted ON DISK in
+    one committed data file (payload bytes XORed past the header, _crc
+    left stale — post-write bit rot). verify_table must pull exactly
+    that file's rows through the checksum gate, condemn them via SNR,
+    and otherwise decode only the deterministic dur_ms%7 sample. The
+    oracle re-derives all counts from a pre-corruption metadata sidecar
+    that records which clips live in the victim file."""
+    from . import meta
+    from .integrity import corrupt_file_on_disk, verify_table
+    from .synth import synth_clips
+
+    root = f"{SCRATCH}/verify_sampled"
+    meta_path = f"{SCRATCH}/verify_sampled_meta"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(meta_path, ignore_errors=True)
+    t = meta.create_table(spark, root)
+    meta.append(
+        t,
+        synth_clips(spark, 300, dur_range_ms=(50, 120), parts=6),
+        job_id="seed",
+    )
+    victim = sorted(t.live_files())[0]
+    bad_ids = set(
+        spark.read.parquet(f"{root}/{victim}")
+        .select("clip_id")
+        .toPandas()["clip_id"]
+    )
+    bad_col = F.col("clip_id").isin(list(bad_ids))
+    (
+        t.scan()
+        .select("clip_id", "sr_hz", "dur_ms", bad_col.alias("in_bad_file"))
+        .write.mode("overwrite")
+        .parquet(meta_path)
+    )
+    corrupt_file_on_disk(f"{root}/{victim}")
+
+    v = verify_table(t, sample_pred=F.col("dur_ms") % 7 == 0)
+    total = t.scan().count()
+    return v.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(~F.col("crc_ok"), 1).otherwise(0)).alias("n_crc_bad"),
+        F.sum(F.when(~F.col("pcm_ok"), 1).otherwise(0)).alias("n_pcm_bad"),
+    ).withColumn("n_total", F.lit(total))
+
+
+@register(
     "audio_features",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -35,11 +35,15 @@ that replaces that wholesale-overwrite habit with surgical rewrites:
               compaction).
 
 Clause surface (SQL MERGE parity):
-- WHEN MATCHED [AND cond] THEN UPDATE/DELETE (``when_matched``,
-  ``matched_condition`` — a SQL boolean over target columns bare and
-  source columns as ``_src.<col>``; a matched row failing the
-  condition carries forward unchanged);
-- WHEN NOT MATCHED THEN INSERT (``when_not_matched="insert"|"ignore"``);
+- ordered WHEN MATCHED [AND cond] THEN UPDATE/DELETE clauses
+  (``matched_clauses=[(cond|None, action), ...]`` — first clause whose
+  condition holds wins, none → carry unchanged; conditions are SQL
+  booleans over target columns bare and source columns as
+  ``_src.<col>``; single-clause sugar: ``when_matched`` +
+  ``matched_condition``);
+- WHEN NOT MATCHED [AND cond] THEN INSERT
+  (``when_not_matched="insert"|"ignore"``, ``not_matched_condition``
+  over source columns bare);
 - WHEN NOT MATCHED BY SOURCE THEN DELETE
   (``not_matched_by_source=None|"delete"``).
 
@@ -137,10 +141,16 @@ def merge_into(
     not_matched_by_source: str | None = None,
     broadcast_max_rows: int = 100_000,
     broadcast_max_bytes: int = 256 << 20,
+    matched_clauses: list[tuple[str | None, str]] | None = None,
+    not_matched_condition: str | None = None,
 ) -> Snapshot:
     """Upsert / delete-on-match ``source`` into the table, CoW-style.
 
     ``source`` must carry the full clip schema for update/insert rows.
+    ``matched_clauses``: ordered [(condition|None, "update"|"delete")]
+    — the full multi-clause WHEN MATCHED surface; overrides the
+    single-clause (when_matched, matched_condition) sugar.
+    ``not_matched_condition``: WHEN NOT MATCHED AND <cond> THEN INSERT.
     """
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
@@ -148,6 +158,13 @@ def merge_into(
     spark = table.spark
     base = table.current_snapshot()
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
+    # recompute the payload checksum for source rows (never trust a
+    # caller-supplied _crc against caller-supplied bytes; synth sources
+    # arrive without one) so updated/inserted rows land with a valid
+    # integrity column — carried target rows keep theirs
+    from .integrity import with_crc
+
+    source = with_crc(source, force=True)
     data_cols = source.columns
 
     # the source is consumed four times (validation, pruning, classify,
@@ -156,6 +173,7 @@ def merge_into(
     # silently corrupt the merge (pass uniqueness, then insert a
     # duplicate). The validation agg below forces materialization.
     source = source.persist()
+    _persisted_source = source  # unpersist target even if reassigned below
 
     # source key uniqueness (SQL MERGE errors on multiple matches) +
     # payload size estimate for the broadcast decision, in one pass
@@ -190,6 +208,13 @@ def merge_into(
 
     if touched_paths:
         target = spark.read.parquet(*[f"{table.root}/{p}" for p in touched_paths])
+        # legacy table written before the integrity column existed:
+        # align the source (the column reappears at the next full write)
+        from .integrity import CRC_COL
+
+        if CRC_COL in data_cols and CRC_COL not in target.columns:
+            source = source.drop(CRC_COL)
+            data_cols = [c for c in data_cols if c != CRC_COL]
     else:
         target = spark.createDataFrame([], source.schema)
 
@@ -221,34 +246,47 @@ def merge_into(
     if src_rows <= broadcast_max_rows and src_bytes <= broadcast_max_bytes:
         srcj = F.broadcast(srcj)
 
-    is_matched = F.col("_sk").isNotNull()
-    if matched_condition is not None:
-        is_matched = is_matched & F.expr(matched_condition)
+    # ordered WHEN MATCHED cascade (SQL MERGE multi-clause semantics:
+    # the FIRST clause whose condition holds decides the row's fate; a
+    # matched row failing every clause carries forward unchanged).
+    # Single-clause callers keep the old (when_matched,
+    # matched_condition) sugar. Conditions see target columns bare and
+    # source columns as ``_src.<col>``.
+    clauses = matched_clauses or [(matched_condition, when_matched)]
+    for _cond, _act in clauses:
+        assert _act in ("update", "delete"), f"bad matched action {_act!r}"
+    is_m = F.col("_sk").isNotNull()
 
     j = target.join(srcj, target[MERGE_KEY] == F.col("_sk"), "left")
-    if when_matched == "update":
-        picked = j.select(
-            F.when(is_matched, F.col("_src"))
+    act_col = None
+    for cond, act in clauses:
+        c = is_m if cond is None else (is_m & F.expr(cond))
+        act_col = (
+            F.when(c, F.lit(act)) if act_col is None else act_col.when(c, F.lit(act))
+        )
+    act_col = act_col.otherwise(F.lit("carry"))
+    if not_matched_by_source == "delete":
+        act_col = F.when(~is_m, F.lit("delete")).otherwise(act_col)
+    rewritten = (
+        j.withColumn("_act", act_col)
+        .filter(F.col("_act") != "delete")
+        .select(
+            F.when(F.col("_act") == "update", F.col("_src"))
             .otherwise(F.struct(*[target[c_] for c_ in data_cols]))
-            .alias("_row"),
-            F.col("_sk"),
+            .alias("_row")
         )
-        if not_matched_by_source == "delete":
-            picked = picked.filter(F.col("_sk").isNotNull())
-        rewritten = picked.select(*[F.col(f"_row.{c_}").alias(c_) for c_ in data_cols])
-    else:  # delete on match
-        keep = ~is_matched
-        if not_matched_by_source == "delete":
-            keep = keep & F.col("_sk").isNotNull()
-        rewritten = j.filter(keep).select(
-            *[target[c_].alias(c_) for c_ in data_cols]
-        )
+        .select(*[F.col(f"_row.{c_}").alias(c_) for c_ in data_cols])
+    )
 
     if when_not_matched == "insert":
         inserts = source.join(
             target.select(MERGE_KEY), MERGE_KEY, "left_anti"
-        ).select(*data_cols)
-        result = rewritten.unionByName(inserts)
+        )
+        if not_matched_condition is not None:
+            # WHEN NOT MATCHED AND <cond> THEN INSERT (condition over
+            # source columns bare); failing rows are simply not inserted
+            inserts = inserts.filter(F.expr(not_matched_condition))
+        result = rewritten.unionByName(inserts.select(*data_cols))
     else:
         result = rewritten
 
@@ -256,7 +294,7 @@ def merge_into(
     try:
         added = table.write_datafiles(result, job_id, sort_within=[MERGE_KEY])
     finally:
-        source.unpersist()
+        _persisted_source.unpersist()
 
     for i, e in enumerate(added.to_pylist()):
         log.complete_unit(
@@ -278,6 +316,8 @@ def merge_into(
             "when_matched": when_matched,
             "when_not_matched": when_not_matched,
             "not_matched_by_source": not_matched_by_source,
+            "matched_clauses": [list(c) for c in (matched_clauses or [])],
+            "not_matched_condition": not_matched_condition,
             "touched_files": len(touched_paths),
             "matched_rows": n_matched,
             "inserted_rows": n_inserts if when_not_matched == "insert" else 0,

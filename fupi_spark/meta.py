@@ -195,7 +195,7 @@ class Table:
         if snap is None or not snap.manifests:
             return _empty_manifest(self.stats_spec)
         tables = [
-            pq.read_table(f"{self.root}/{m}").cast(self.manifest_schema)
+            pad_cast_manifest(pq.read_table(f"{self.root}/{m}"), self.manifest_schema)
             for m in snap.manifests
         ]
         return pa.concat_tables(tables)
@@ -226,13 +226,26 @@ class Table:
         return rel
 
     # -- reads --------------------------------------------------------------
-    def scan(self, snapshot_id: int | None = None) -> DataFrame:
-        """Read the table at a snapshot (time travel when id given)."""
+    @staticmethod
+    def _drop_internal(df: DataFrame) -> DataFrame:
+        """Strip engine-internal physical columns (today: the per-row
+        payload checksum ``_crc``) from user-facing reads."""
+        from .integrity import CRC_COL
+
+        return df.drop(CRC_COL) if CRC_COL in df.columns else df
+
+    def scan(
+        self, snapshot_id: int | None = None, include_internal: bool = False
+    ) -> DataFrame:
+        """Read the table at a snapshot (time travel when id given).
+        ``include_internal`` keeps physical columns like ``_crc`` —
+        engine rewrites must carry them; queries should not see them."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         files = self.live_files(snap)
         if not files:
             raise ValueError("empty table: no committed snapshot with files")
-        return self.spark.read.parquet(*[f"{self.root}/{p}" for p in files])
+        df = self.spark.read.parquet(*[f"{self.root}/{p}" for p in files])
+        return df if include_internal else self._drop_internal(df)
 
     def scan_pruned(
         self, col: str, lo, hi, snapshot_id: int | None = None
@@ -261,7 +274,7 @@ class Table:
             df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
             return df, 0, len(entries)
         df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in keep])
-        df = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        df = self._drop_internal(df).filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df, len(keep), len(entries)
 
     def incremental_scan(
@@ -288,7 +301,9 @@ class Table:
         added = [p for p in after if p not in before]
         if not added:
             return self.spark.createDataFrame([], self.scan(to_id).schema)
-        return self.spark.read.parquet(*[f"{self.root}/{p}" for p in added])
+        return self._drop_internal(
+            self.spark.read.parquet(*[f"{self.root}/{p}" for p in added])
+        )
 
     def scan_pruned_in(
         self, col: str, values: list, snapshot_id: int | None = None
@@ -311,6 +326,7 @@ class Table:
             df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
             return df, 0, len(entries)
         df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in keep])
+        df = self._drop_internal(df)
         return df.filter(F.col(col).isin(list(values))), len(keep), len(entries)
 
     def scan_in_manifest_order(self, snapshot_id: int | None = None) -> DataFrame:
@@ -330,7 +346,9 @@ class Table:
             [(f"{self.root}/{e['file_path']}", i) for i, e in enumerate(entries)],
             "_abs string, _file_ord int",
         )
-        df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in entries])
+        df = self._drop_internal(
+            self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in entries])
+        )
         # _metadata.file_path is a file:/ URI; normalize to a plain path
         df = df.withColumn(
             "_abs", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
@@ -356,8 +374,13 @@ class Table:
         repartitionByRange) before calling; this preserves it 1 task →
         1 file (maxRecordsPerFile intentionally unset).
         """
+        from .integrity import with_crc
+
         staging = self.stage_dir(job_id)
-        w = df.sortWithinPartitions(*sort_within) if sort_within else df
+        # payload checksum computed inline with the write (JVM crc32 —
+        # no extra pass); rides every later rewrite of the row
+        w = with_crc(df)
+        w = w.sortWithinPartitions(*sort_within) if sort_within else w
         w.write.mode("overwrite").parquet(staging)
         return self._promote_staging(staging, job_id)
 
@@ -383,6 +406,7 @@ class Table:
                 "file_path": rel,
                 "row_count": r["row_count"],
                 "byte_size": self.storage.size(rel),
+                "checksum_bytes": r["checksum_bytes"],
             }
             for c in self.stats_cols:
                 e[f"min_{c}"] = r[f"min_{c}"]
@@ -396,8 +420,15 @@ class Table:
         the manifest 'stats recomputation' required by the north rule.
         Partial-agg friendly: combines map-side, shuffles only
         (file, stats) partials."""
+        from .integrity import CRC_COL
+
         aggs = [F.count(F.lit(1)).alias("row_count")]
         present = set(df.columns)
+        # per-file payload checksum: reads only the 8-byte _crc column
+        if CRC_COL in present:
+            aggs.append(F.sum(CRC_COL).alias("checksum_bytes"))
+        else:
+            aggs.append(F.lit(None).cast("long").alias("checksum_bytes"))
         for c in self.stats_cols:
             if c in present:
                 aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
@@ -494,11 +525,27 @@ def _manifest_arrow_fields(stats_spec: list[tuple[str, pa.DataType]]) -> list[pa
         pa.field("file_path", pa.string()),
         pa.field("row_count", pa.int64()),
         pa.field("byte_size", pa.int64()),
+        # per-file payload checksum: sum of per-row _crc (integrity.py);
+        # NULL for tables without a payload column or unknown files
+        pa.field("checksum_bytes", pa.int64()),
     ]
     for c, typ in stats_spec:
         fields.append(pa.field(f"min_{c}", typ))
         fields.append(pa.field(f"max_{c}", typ))
     return fields
+
+
+def pad_cast_manifest(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast a manifest to ``schema``, padding columns the file predates
+    with NULLs (manifest-schema evolution: older manifests stay
+    readable after new stats/checksum columns are introduced)."""
+    cols = []
+    for f in schema:
+        if f.name in tbl.column_names:
+            cols.append(tbl.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(tbl.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
 
 
 def _empty_manifest(stats_spec: list[tuple[str, pa.DataType]]) -> pa.Table:
@@ -514,6 +561,7 @@ def _manifest_spark_schema(stats_spec: list[tuple[str, pa.DataType]]):
         T.StructField("file_path", T.StringType()),
         T.StructField("row_count", T.LongType()),
         T.StructField("byte_size", T.LongType()),
+        T.StructField("checksum_bytes", T.LongType()),
     ]
     for c, typ in stats_spec:
         fields.append(T.StructField(f"min_{c}", _map.get(typ, T.StringType())))

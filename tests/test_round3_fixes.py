@@ -116,6 +116,91 @@ def test_merge_over_byte_budget_falls_back_to_shuffle(spark, tmp_table_dir):
     assert pre == post
 
 
+def test_merge_multi_clause_cascade(spark, tmp_table_dir):
+    """Ordered WHEN MATCHED clauses: first matching clause wins —
+    short-duration matches are deleted, long ones updated, mids carried;
+    verified against a row-by-row pandas model."""
+    t = make_table(spark, tmp_table_dir, n=80, parts=4)
+    before = {
+        r.clip_id: (r.dur_ms, r.transcript)
+        for r in t.scan().select("clip_id", "dur_ms", "transcript").collect()
+    }
+    src = (
+        t.scan()
+        .orderBy("clip_id")
+        .limit(20)
+        .withColumn("transcript", F.lit("UPDATED"))
+    ).cache()
+    src.count()
+    src_ids = {r.clip_id for r in src.select("clip_id").collect()}
+    merge_into(
+        t,
+        src,
+        job_id="m-multi",
+        matched_clauses=[
+            ("dur_ms < 80", "delete"),
+            ("dur_ms >= 120", "update"),
+        ],
+        when_not_matched="ignore",
+    )
+    got = {
+        r.clip_id: r.transcript
+        for r in t.scan().select("clip_id", "transcript").collect()
+    }
+    for cid, (dur, tr) in before.items():
+        if cid in src_ids and dur < 80:
+            assert cid not in got  # deleted by clause 1
+        elif cid in src_ids and dur >= 120:
+            assert got[cid] == "UPDATED"  # clause 2
+        else:
+            assert got[cid] == tr  # carried (mid-range or unmatched)
+
+
+def test_merge_conditional_insert(spark, tmp_table_dir):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: only source rows
+    passing the condition are inserted; the rest are dropped."""
+    from fupi_spark.synth import synth_clips
+
+    t = make_table(spark, tmp_table_dir, n=50, parts=2)
+    ins = synth_clips(spark, 30, seed=5, dur_range_ms=(50, 150)).withColumn(
+        "clip_id", F.concat(F.lit("new_"), F.col("clip_id"))
+    ).cache()
+    ins.count()
+    want = ins.filter(F.col("dur_ms") % 2 == 0).count()
+    assert 0 < want < 30
+    merge_into(
+        t, ins, job_id="m-condins", not_matched_condition="dur_ms % 2 = 0"
+    )
+    got = t.scan()
+    assert got.count() == 50 + want
+    assert got.filter(F.col("clip_id").like("new_%")).count() == want
+    assert (
+        got.filter(F.col("clip_id").like("new_%") & (F.col("dur_ms") % 2 != 0)).count()
+        == 0
+    )
+
+
+def test_dense_ids_broadcast_offsets_path(spark, monkeypatch):
+    """Beyond MAP_LITERAL_MAX partitions the offset map becomes a
+    broadcast join: identical ids to the literal-map path, and the plan
+    shows a BroadcastHashJoin instead of a plan-embedded literal map."""
+    from fupi_spark import ids as ids_mod
+
+    df = spark.range(0, 500, 1, 8).selectExpr("id as k", "id % 7 as v")
+    lit_ids = {
+        r.k: r.rid
+        for r in ids_mod.dense_ids(df, ["k"], "rid", num_parts=6).collect()
+    }
+    monkeypatch.setattr(ids_mod, "MAP_LITERAL_MAX", 0)
+    bc = ids_mod.dense_ids(df, ["k"], "rid", num_parts=6)
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    bc_ids = {r.k: r.rid for r in bc.collect()}
+    assert bc_ids == lit_ids
+    assert sorted(bc_ids.values()) == list(range(1, 501))
+
+
 def test_manifest_tmp_leftovers_swept_by_age_gate(spark, tmp_table_dir):
     """A crash between manifest write and promote leaves a '.tmp-*' file
     under _staging/.manifest-tmp; the age-gated sweep reclaims it, but
