@@ -160,3 +160,107 @@ class ObjectStoreStorage(Storage):
         os.makedirs(os.path.dirname(self._abs(rel)), exist_ok=True)
         shutil.copyfile(local_file, self._abs(rel))
         os.unlink(local_file)
+
+
+class S3Storage(Storage):
+    """Real object-store backend over boto3 (guarded import — the same
+    seam pattern as the ONNX/pysbd kernels: constructing this class
+    requires boto3 + reachable credentials; nothing else in the engine
+    imports it). Maps the Storage primitives 1:1 onto S3 calls:
+
+    - put            → PutObject (atomic whole-object replace)
+    - put_if_absent  → PutObject + ``IfNoneMatch="*"`` (the conditional
+                       write S3 supports natively since 2024-08; a 412
+                       PreconditionFailed / 409 means another committer
+                       won the claim)
+    - read/exists/mtime/size → GetObject / HeadObject
+    - list           → ListObjectsV2, paginated
+    - delete         → DeleteObject
+    - promote        → upload_file + local unlink (no atomicity needed:
+                       visibility is manifest-driven, commits happen
+                       after promote returns)
+
+    Reference parity: the reference's tables live on exactly this kind
+    of store (/root/reference/fupi/utils.py:16 — S3/MinIO/R2 via
+    storage options). Spark reads/writes data-file CONTENT through its
+    own s3a layer; this class carries only metadata/commit traffic.
+    Exercised by tests/test_storage.py against a real bucket when
+    FUPI_S3_BUCKET (+ credentials) is set; the commit-protocol logic it
+    relies on is proven against ObjectStoreStorage either way.
+    """
+
+    atomic_rename = False
+
+    def __init__(self, bucket: str, prefix: str = "", client=None):
+        import boto3  # guarded: only this constructor needs it
+
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client or boto3.client("s3")
+        self.root = f"s3://{bucket}/{self.prefix}"
+
+    def _key(self, rel: str) -> str:
+        return f"{self.prefix}/{rel}" if self.prefix else rel
+
+    def put(self, rel: str, data: bytes) -> None:
+        self.client.put_object(Bucket=self.bucket, Key=self._key(rel), Body=data)
+
+    def put_if_absent(self, rel: str, data: bytes) -> bool:
+        try:
+            self.client.put_object(
+                Bucket=self.bucket, Key=self._key(rel), Body=data, IfNoneMatch="*"
+            )
+            return True
+        except self.client.exceptions.ClientError as e:  # pragma: no cover
+            code = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+            if code in (409, 412):
+                return False
+            raise
+
+    def read(self, rel: str) -> bytes:
+        return self.client.get_object(Bucket=self.bucket, Key=self._key(rel))[
+            "Body"
+        ].read()
+
+    def _head(self, rel: str) -> dict:
+        return self.client.head_object(Bucket=self.bucket, Key=self._key(rel))
+
+    def exists(self, rel: str) -> bool:
+        try:
+            self._head(rel)
+            return True
+        except self.client.exceptions.ClientError:
+            return False
+
+    def mtime(self, rel: str) -> float:
+        try:
+            return self._head(rel)["LastModified"].timestamp()
+        except self.client.exceptions.ClientError:
+            raise FileNotFoundError(rel)
+
+    def size(self, rel: str) -> int:
+        return int(self._head(rel)["ContentLength"])
+
+    def list(self, prefix: str) -> list[str]:
+        key_prefix = self._key(prefix.rstrip("/") + "/")
+        out = []
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=self.bucket, Prefix=key_prefix):
+            for obj in page.get("Contents", []):
+                k = obj["Key"]
+                out.append(k[len(self.prefix) + 1 :] if self.prefix else k)
+        return sorted(out)
+
+    def delete(self, rel: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(rel))
+
+    def delete_prefix(self, prefix: str) -> None:
+        for rel in self.list(prefix):
+            self.delete(rel)
+
+    def promote(self, local_file: str, rel: str) -> None:
+        self.client.upload_file(local_file, self.bucket, self._key(rel))
+        os.unlink(local_file)
+
+    def ensure_dir(self, prefix: str) -> None:
+        pass  # object stores have no directories

@@ -121,3 +121,142 @@ def test_gc_on_object_store(spark, tmp_table_dir):
     assert gc_orphans(t) == ["data/crashed-00000.parquet"]
     for p in t.live_files():
         assert os.path.exists(f"{t.root}/{p}")
+
+
+# -- fault injection ---------------------------------------------------------
+
+
+class MidGcPromoteStorage(ObjectStoreStorage):
+    """Fault injector: a queued promote becomes visible immediately
+    AFTER the next LIST of data/ — the worst interleaving for GC (the
+    file appears between GC's listing and its delete loop)."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self.pending: list[tuple[str, str]] = []
+
+    def queue_promote(self, local_file: str, rel: str) -> None:
+        self.pending.append((local_file, rel))
+
+    def list(self, prefix: str):
+        out = super().list(prefix)
+        if prefix == "data" and self.pending:
+            for local_file, rel in self.pending:
+                super().promote(local_file, rel)
+            self.pending.clear()
+        return out
+
+
+class StaleLineageListStorage(ObjectStoreStorage):
+    """Fault injector: LIST of _lineage/ serves a snapshot frozen at
+    ``freeze()`` time (eventual-consistency lag on the listing that
+    carries the in-flight-job protection)."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self._frozen = None
+
+    def freeze_lineage(self):
+        self._frozen = super().list("_lineage")
+
+    def list(self, prefix: str):
+        if prefix == "_lineage" and self._frozen is not None:
+            return list(self._frozen)
+        return super().list(prefix)
+
+
+def test_promote_landing_mid_gc_survives(spark, tmp_table_dir):
+    """A slow promote that lands between GC's data LIST and its delete
+    loop: the file was absent from the listing, so GC cannot touch it;
+    the next GC sees it WITH its lineage marker → still protected."""
+    import shutil
+
+    st = MidGcPromoteStorage(tmp_table_dir)
+    t = meta.create_table(spark, tmp_table_dir, storage=st)
+    clips = synth_clips(spark, 60, dur_range_ms=(50, 100), parts=3)
+    meta.append(t, clips, job_id="seed", parts=3)
+
+    t.mark_job_active("slowjob")  # marker lands BEFORE the promote (invariant)
+    src = f"{t.root}/.slow-src.parquet"
+    shutil.copy(f"{t.root}/{t.live_files()[0]}", src)
+    st.queue_promote(src, "data/slowjob-00000.parquet")
+
+    assert gc_orphans(t) == []  # promote landed mid-GC, untouched
+    assert os.path.exists(f"{t.root}/data/slowjob-00000.parquet")
+    assert gc_orphans(t) == []  # now visible, but lineage-protected
+    assert os.path.exists(f"{t.root}/data/slowjob-00000.parquet")
+
+
+def test_stale_lineage_list_needs_age_gate(spark, tmp_table_dir):
+    """Eventually-consistent lineage LIST: a writer that registered
+    after the listing was cached loses its in-flight protection. The
+    age gate (older_than_s) is what keeps its fresh files safe — and
+    without it the file IS collected, which documents WHY the protocol
+    requires strongly-consistent LIST (modern S3) or a nonzero age."""
+    import shutil
+
+    st = StaleLineageListStorage(tmp_table_dir)
+    t = meta.create_table(spark, tmp_table_dir, storage=st)
+    clips = synth_clips(spark, 60, dur_range_ms=(50, 100), parts=3)
+    meta.append(t, clips, job_id="seed", parts=3)
+
+    st.freeze_lineage()  # the lag starts here
+    t.mark_job_active("lagged")  # invisible to subsequent LISTs
+    promoted = f"{t.root}/data/lagged-00000.parquet"
+    shutil.copy(f"{t.root}/{t.live_files()[0]}", promoted)
+
+    # with the age gate: fresh file survives despite the stale listing
+    assert gc_orphans(t, older_than_s=3600) == []
+    assert os.path.exists(promoted)
+
+    # without it: the stale listing drops the protection → collected
+    assert gc_orphans(t) == ["data/lagged-00000.parquet"]
+    assert not os.path.exists(promoted)
+
+
+def test_s3_storage_guarded_seam(tmp_path):
+    """S3Storage is importable and constructible against a stub client
+    (no network); the real-bucket path is exercised only when
+    FUPI_S3_BUCKET + credentials are present."""
+    from fupi_spark.storage import S3Storage
+
+    class _StubExc(Exception):
+        def __init__(self):
+            super().__init__()
+            self.response = {"ResponseMetadata": {"HTTPStatusCode": 412}}
+
+    class _Stub:
+        class exceptions:
+            ClientError = _StubExc
+
+        def __init__(self):
+            self.objects = {}
+
+        def put_object(self, Bucket, Key, Body, **kw):
+            if kw.get("IfNoneMatch") == "*" and Key in self.objects:
+                raise _StubExc()
+            self.objects[Key] = bytes(Body)
+
+        def get_object(self, Bucket, Key):
+            import io
+
+            return {"Body": io.BytesIO(self.objects[Key])}
+
+    st = S3Storage("bucket", "tables/t1", client=_Stub())
+    assert st.put_if_absent("metadata/v1.json", b"first") is True
+    assert st.put_if_absent("metadata/v1.json", b"second") is False
+    assert st.read("metadata/v1.json") == b"first"
+    assert st._key("data/x.parquet") == "tables/t1/data/x.parquet"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("FUPI_S3_BUCKET"), reason="no S3 bucket configured"
+)
+def test_s3_storage_real_bucket_roundtrip():
+    from fupi_spark.storage import S3Storage
+
+    st = S3Storage(os.environ["FUPI_S3_BUCKET"], "fupi-test")
+    assert st.put_if_absent("metadata/v1.json", b"x")
+    assert st.read("metadata/v1.json") == b"x"
+    assert "metadata/v1.json" in st.list("metadata")
+    st.delete("metadata/v1.json")
