@@ -109,6 +109,7 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
             "row_count": r["row_count"],
             "byte_size": table.storage.size(p),
             "checksum_bytes": r["checksum_bytes"],
+            "schema_id": table.current_schema_id(),
         }
         for c in table.stats_cols:
             e[f"min_{c}"] = r[f"min_{c}"]
@@ -136,17 +137,21 @@ def compact(
     spark = table.spark
     base = table.current_snapshot()
     entries = table.manifest_entries(base).to_pylist()
-    if group_fn is None:
-        bins = [b for b in ffd_pack(entries, target_bytes, min_file_bytes) if len(b.files) > 1]
-    else:
-        groups: dict = {}
-        for e in entries:
-            groups.setdefault(group_fn(e), []).append(e)
-        bins = []
-        for g in sorted(groups, key=repr):
-            for b in ffd_pack(groups[g], target_bytes, min_file_bytes):
-                if len(b.files) > 1:
-                    bins.append(Bin(len(bins), b.files))
+    # bins NEVER mix schema generations (evolve.py): compaction streams
+    # files byte-for-byte, so a bin must be physically homogeneous —
+    # pre-evolution files (NULL schema_id == gen 0) pack together,
+    # post-evolution files pack together. Composes with the caller's
+    # clustering-aware group_fn.
+    groups: dict = {}
+    for e in entries:
+        sid = e.get("schema_id") or 0
+        key = (sid, group_fn(e)) if group_fn is not None else (sid,)
+        groups.setdefault(key, []).append(e)
+    bins = []
+    for g in sorted(groups, key=repr):
+        for b in ffd_pack(groups[g], target_bytes, min_file_bytes):
+            if len(b.files) > 1:
+                bins.append(Bin(len(bins), b.files))
     if not bins:
         return None
 
@@ -179,30 +184,46 @@ def compact(
         shutil.rmtree(table.stage_dir(job_id), ignore_errors=True)
         staging = table.stage_dir(job_id)
         table.mark_job_active(job_id)
-        # one footer read for the schema, then every branch skips
+        # one footer read PER SCHEMA GENERATION, then every branch skips
         # inference (34 branches x footer reads would serialize on the
-        # driver and starve the executors)
-        schema = spark.read.parquet(
-            f"{table.root}/{todo[0].files[0]['file_path']}"
-        ).schema
+        # driver and starve the executors). Bins are generation-pure by
+        # construction, so each branch reads with its exact physical
+        # schema — files of different generations never share a read.
+        entry_sid = {e["file_path"]: (e.get("schema_id") or 0) for e in entries}
+        schema_by_sid = {}
+        for b in todo:
+            sid = entry_sid[b.files[0]["file_path"]]
+            if sid not in schema_by_sid:
+                schema_by_sid[sid] = spark.read.parquet(
+                    f"{table.root}/{b.files[0]['file_path']}"
+                ).schema
+        # one write pass per schema generation (a union across
+        # generations would pad missing columns and silently rewrite old
+        # files into the new physical schema); within a generation, bins
+        # union and write in waves exactly as before
         wave_size = 256
-        for w in range(0, len(todo), wave_size):
-            wave = todo[w : w + wave_size]
-            branches = []
-            for b in wave:
-                br = spark.read.schema(schema).parquet(
-                    *[f"{table.root}/{e['file_path']}" for e in b.files]
-                ).coalesce(1)
-                br = br.withColumn("_bin", F.lit(b.bin_id))
-                if sort_within:
-                    # lead with _bin: the partitionBy writer requires it
-                    # sorted and would otherwise re-sort unstably
-                    br = br.sortWithinPartitions("_bin", *sort_within)
-                branches.append(br)
-            df = branches[0]
-            for br in branches[1:]:
-                df = df.unionByName(br)
-            df.write.mode("append").partitionBy("_bin").parquet(staging)
+        by_sid: dict = {}
+        for b in todo:
+            by_sid.setdefault(entry_sid[b.files[0]["file_path"]], []).append(b)
+        for sid in sorted(by_sid):
+            sid_bins = by_sid[sid]
+            for w in range(0, len(sid_bins), wave_size):
+                wave = sid_bins[w : w + wave_size]
+                branches = []
+                for b in wave:
+                    br = spark.read.schema(schema_by_sid[sid]).parquet(
+                        *[f"{table.root}/{e['file_path']}" for e in b.files]
+                    ).coalesce(1)
+                    br = br.withColumn("_bin", F.lit(b.bin_id))
+                    if sort_within:
+                        # lead with _bin: the partitionBy writer requires
+                        # it sorted and would otherwise re-sort unstably
+                        br = br.sortWithinPartitions("_bin", *sort_within)
+                    branches.append(br)
+                df = branches[0]
+                for br in branches[1:]:
+                    df = df.unionByName(br)
+                df.write.mode("append").partitionBy("_bin").parquet(staging)
 
         # promote each bin's output into data/ and checkpoint lineage
         for b in todo:
@@ -263,6 +284,9 @@ def compact(
                 # verify_table treats the file normally, per-row _crc
                 # still covers every row)
                 "checksum_bytes": folded_sum if len(outs) == 1 else None,
+                # output keeps the INPUT generation's physical schema
+                # (streamed bytes, never padded) — bins are sid-pure
+                "schema_id": ins[0].get("schema_id") or 0,
             }
             for c in table.stats_cols:
                 lo = [x[f"min_{c}"] for x in ins]

@@ -368,6 +368,53 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_schema_evolution",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN COALESCE(lang, 'en') = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en,
+       CAST(SUM(CASE WHEN lang = 'bg' THEN 1 ELSE 0 END) AS BIGINT) AS n_bg,
+       false AS old_has_lang
+FROM read_parquet('{SCRATCH}/evolve/data/*.parquet', union_by_name=true)
+""",
+)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only ADD COLUMN with default (evolve.py): files written
+    before the op lack the column physically; the engine's scan fills
+    the default, and the oracle reproduces the same view by reading the
+    actual mixed-schema data files with union_by_name + COALESCE.
+    Time travel: the pre-evolution snapshot must not show the column."""
+    from . import meta
+    from .evolve import add_column
+    from .synth import synth_clips
+
+    root = f"{SCRATCH}/evolve"
+    shutil.rmtree(root, ignore_errors=True)
+    t = meta.create_table(spark, root)
+    meta.append(
+        t, synth_clips(spark, 300, dur_range_ms=(50, 100), parts=4), job_id="b1"
+    )
+    v_before = t.current_snapshot().snapshot_id
+    add_column(t, "lang", "string", default="en")
+    b2 = (
+        synth_clips(spark, 200, seed=11, dur_range_ms=(50, 100))
+        .withColumn("clip_id", F.concat(F.lit("n_"), F.col("clip_id")))
+        .withColumn("lang", F.lit("bg"))
+    )
+    meta.append(t, b2, job_id="b2", parts=3)
+    old_has_lang = "lang" in t.scan(v_before).columns
+    return (
+        t.scan()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+            F.sum(F.when(F.col("lang") == "bg", 1).otherwise(0)).alias("n_bg"),
+        )
+        .withColumn("old_has_lang", F.lit(old_has_lang))
+    )
+
+
+@register(
     "lakehouse_incremental_scan",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

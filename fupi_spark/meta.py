@@ -176,6 +176,27 @@ class Table:
             self.storage.read(f"metadata/v{snapshot_id:05d}.json")
         )
 
+    def schema_ops(self, snapshot: Snapshot | None = None) -> list[dict]:
+        """Ordered schema-evolution ops in force at a snapshot
+        (evolve.py); inherited commit-to-commit, so time travel replays
+        exactly the ops that snapshot knew."""
+        snap = snapshot or self.current_snapshot()
+        if snap is None:
+            return []
+        return snap.summary.get("schema_ops") or []
+
+    def current_schema_id(self) -> int:
+        """Monotone schema generation: number of evolution ops applied.
+        Stamped per file into the manifest so compaction never packs
+        files of different physical schemas into one bin."""
+        return len(self.schema_ops())
+
+    def scan_schema_names(self) -> list[str]:
+        return self.scan().columns
+
+    def scan_schema_types(self) -> dict[str, str]:
+        return {f.name: f.dataType.simpleString() for f in self.scan().schema.fields}
+
     def lineage_chain(self) -> list[dict]:
         """Snapshot lineage: (id, parent, operation, summary) per commit."""
         return [
@@ -239,13 +260,32 @@ class Table:
     ) -> DataFrame:
         """Read the table at a snapshot (time travel when id given).
         ``include_internal`` keeps physical columns like ``_crc`` —
-        engine rewrites must carry them; queries should not see them."""
+        engine rewrites must carry them; queries should not see them.
+
+        Schema evolution (evolve.py): when the snapshot carries
+        schema_ops, the read merges parquet footers and replays the
+        ops, so the result always has the snapshot's declared schema
+        regardless of each file's physical one."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         files = self.live_files(snap)
         if not files:
             raise ValueError("empty table: no committed snapshot with files")
-        df = self.spark.read.parquet(*[f"{self.root}/{p}" for p in files])
+        df = self._read_files([f"{self.root}/{p}" for p in files], snap)
         return df if include_internal else self._drop_internal(df)
+
+    def _read_files(self, paths: list[str], snap: Snapshot | None) -> DataFrame:
+        """Evolution-aware file read: merge parquet footers and replay
+        the snapshot's schema ops (no-op for never-evolved tables)."""
+        ops = self.schema_ops(snap)
+        reader = self.spark.read
+        if ops:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
+        if ops:
+            from .evolve import apply_schema_ops
+
+            df = apply_schema_ops(df, ops)
+        return df
 
     def scan_pruned(
         self, col: str, lo, hi, snapshot_id: int | None = None
@@ -273,7 +313,7 @@ class Table:
         if not keep:
             df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
             return df, 0, len(entries)
-        df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in keep])
+        df = self._read_files([f"{self.root}/{e['file_path']}" for e in keep], snap)
         df = self._drop_internal(df).filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return df, len(keep), len(entries)
 
@@ -302,7 +342,9 @@ class Table:
         if not added:
             return self.spark.createDataFrame([], self.scan(to_id).schema)
         return self._drop_internal(
-            self.spark.read.parquet(*[f"{self.root}/{p}" for p in added])
+            self._read_files(
+                [f"{self.root}/{p}" for p in added], self.snapshot(to_id)
+            )
         )
 
     def scan_pruned_in(
@@ -325,7 +367,7 @@ class Table:
         if not keep:
             df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
             return df, 0, len(entries)
-        df = self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in keep])
+        df = self._read_files([f"{self.root}/{e['file_path']}" for e in keep], snap)
         df = self._drop_internal(df)
         return df.filter(F.col(col).isin(list(values))), len(keep), len(entries)
 
@@ -347,7 +389,9 @@ class Table:
             "_abs string, _file_ord int",
         )
         df = self._drop_internal(
-            self.spark.read.parquet(*[f"{self.root}/{e['file_path']}" for e in entries])
+            self._read_files(
+                [f"{self.root}/{e['file_path']}" for e in entries], snap
+            )
         )
         # _metadata.file_path is a file:/ URI; normalize to a plain path
         df = df.withColumn(
@@ -407,6 +451,7 @@ class Table:
                 "row_count": r["row_count"],
                 "byte_size": self.storage.size(rel),
                 "checksum_bytes": r["checksum_bytes"],
+                "schema_id": self.current_schema_id(),
             }
             for c in self.stats_cols:
                 e[f"min_{c}"] = r[f"min_{c}"]
@@ -487,13 +532,20 @@ class Table:
             manifest_rel = self.write_manifest(merged)
 
             next_id = (base.snapshot_id if base else 0) + 1
+            # schema evolution ops are table-level state: inherit them
+            # from the base snapshot unless this commit sets them
+            # explicitly (evolve.py does; everything else inherits)
+            inherited_ops = (base.summary.get("schema_ops") if base else None) or []
+            extra = dict(summary or {})
+            if "schema_ops" not in extra and inherited_ops:
+                extra["schema_ops"] = inherited_ops
             snap = Snapshot(
                 snapshot_id=next_id,
                 parent_id=base.snapshot_id if base else None,
                 operation=operation,
                 manifests=[manifest_rel],
                 summary={
-                    **(summary or {}),
+                    **extra,
                     "added_files": added.num_rows,
                     "removed_files": len(removed_paths),
                     "total_files": merged.num_rows,
@@ -528,6 +580,10 @@ def _manifest_arrow_fields(stats_spec: list[tuple[str, pa.DataType]]) -> list[pa
         # per-file payload checksum: sum of per-row _crc (integrity.py);
         # NULL for tables without a payload column or unknown files
         pa.field("checksum_bytes", pa.int64()),
+        # schema generation the file was written under (evolve.py);
+        # compaction packs bins per generation so one bin never mixes
+        # physical schemas. NULL (pre-evolution manifests) == gen 0.
+        pa.field("schema_id", pa.int64()),
     ]
     for c, typ in stats_spec:
         fields.append(pa.field(f"min_{c}", typ))
@@ -562,6 +618,7 @@ def _manifest_spark_schema(stats_spec: list[tuple[str, pa.DataType]]):
         T.StructField("row_count", T.LongType()),
         T.StructField("byte_size", T.LongType()),
         T.StructField("checksum_bytes", T.LongType()),
+        T.StructField("schema_id", T.LongType()),
     ]
     for c, typ in stats_spec:
         fields.append(T.StructField(f"min_{c}", _map.get(typ, T.StringType())))
