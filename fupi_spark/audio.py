@@ -460,12 +460,89 @@ def extract_features(clips: DataFrame) -> DataFrame:
     return clips.select(*cols).mapInPandas(_feature_batches, schema=FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# resample (multimodal resize stage) — real numpy polyphase kernel with
+# a guarded scipy upgrade path
+# ---------------------------------------------------------------------------
+
+
+def _load_resampler():
+    """Guarded kernel seam (same pattern as the ONNX/pysbd seams):
+    scipy.signal.resample_poly when importable AND FUPI_USE_SCIPY=1;
+    otherwise the in-repo windowed-sinc polyphase below. Textbook
+    multirate DSP (zero-stuff → lowpass at π/max(L,M) → decimate) —
+    public-knowledge algorithm, implemented from the definition."""
+    import os as _o
+
+    if _o.environ.get("FUPI_USE_SCIPY") == "1":
+        try:
+            from scipy.signal import resample_poly
+
+            return lambda x, up, down: resample_poly(x, up, down)
+        except ImportError:
+            pass
+    return _resample_poly_np
+
+
+def _resample_poly_np(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Rational-rate resampling by L/M: zero-stuff by L, convolve with a
+    Hamming-windowed sinc lowpass at cutoff 1/max(L,M) (gain L), take
+    every M-th sample. Output length = ceil(len(x)*L/M)."""
+    from math import gcd
+
+    g = gcd(up, down)
+    up, down = up // g, down // g
+    if up == 1 and down == 1:
+        return np.asarray(x, dtype=np.float64)
+    m = max(up, down)
+    half = 10 * m  # 10 zero-crossings per side
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    fc = 1.0 / m
+    h = fc * np.sinc(fc * t) * np.hamming(2 * half + 1) * up
+    y = np.zeros(len(x) * up, dtype=np.float64)
+    y[::up] = np.asarray(x, dtype=np.float64)
+    y = np.convolve(y, h, mode="full")[half : half + len(y)]
+    return y[::down]
+
+
+def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
+    """Resample every clip to ``target_sr`` (the multimodal 'resize'
+    stage): decode → polyphase resample → re-encode, vectorized inside
+    an Arrow-batched mapInPandas with payload-bounded row chunks.
+    Output rows keep clip_id/dur_ms/codec/transcript; sr_hz and the
+    payload change. Fake-container codecs are re-framed as-is."""
+    from .schema import CLIPS_SCHEMA
+
+    resample = None  # loaded once per worker inside the closure
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal resample
+        if resample is None:
+            resample = _load_resampler()
+        for full in it:
+            if len(full) == 0:
+                yield full
+                continue
+            for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+                out = pdf.copy()
+                bufs = []
+                for b, codec, sr in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"]):
+                    pcm = _decode_one(b, codec).astype(np.float64)
+                    res = resample(pcm, int(target_sr), int(sr))
+                    res16 = np.clip(res, -32768, 32767).astype(np.int16)
+                    if codec == "pcm_s16le":
+                        bufs.append(wav_encode(res16, target_sr))
+                    else:
+                        bufs.append(fake_encode(res16, codec))
+                out["bytes"] = bufs
+                out["sr_hz"] = np.int32(target_sr)
+                yield out[[f.name for f in CLIPS_SCHEMA.fields]]
+
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    return clips.select(*cols).mapInPandas(run, schema=CLIPS_SCHEMA)
+
+
 def resample_stub(clips: DataFrame, target_sr: int) -> DataFrame:
-    """Multimodal resize/resample stage. The Spark plumbing (schema,
-    partition-preserving mapInPandas) is real; the DSP kernel is a
-    deliberate stub because resample-quality libraries (librosa/soxr)
-    are not in this container."""
-    raise NotImplementedError(
-        "resample kernel stubbed: plug a soxr/scipy.signal.resample_poly "
-        "call into a mapInPandas batch function with schema CLIPS_SCHEMA"
-    )
+    """Backward-compat alias for the round-2 stub name; the kernel is
+    now real (see resample_clips)."""
+    return resample_clips(clips, target_sr)

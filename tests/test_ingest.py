@@ -120,3 +120,60 @@ def test_real_kernel_seams_skipped_unless_available(spark, monkeypatch):
     monkeypatch.setenv("FUPI_USE_PYSBD", "1")
     seg = _load_segmenter()
     assert seg("One. Two.") == ["One.", "Two."] or len(seg("One. Two.")) == 2
+
+
+def test_onnx_path_runs_one_call_per_batch():
+    """The real-model branch must execute exactly ONE session.run per
+    Arrow batch (tokenize-all + pad-to-longest + masked mean-pool), not
+    one per row — reference parity with its padding='longest' batches."""
+    import numpy as np
+    import pandas as pd
+
+    from fupi_spark.ingest import _embed_batch
+
+    calls = {"n": 0}
+    DIM = 8
+
+    class MockSession:
+        def run(self, outputs, feeds):
+            calls["n"] += 1
+            ids = feeds["input_ids"]
+            assert ids.ndim == 2 and ids.shape[0] == 5  # whole batch, padded
+            # deterministic fake hidden state: (n, seq, hidden)
+            rng = np.random.default_rng(1)
+            return [rng.standard_normal((ids.shape[0], ids.shape[1], DIM))]
+
+    batch = pd.Series(["a b c", "d", "", "e f", "g g g g"])
+    out = _embed_batch("onnx", MockSession(), batch, DIM)
+    assert calls["n"] == 1  # ONE run for the whole batch
+    assert len(out) == 5 and all(len(v) == DIM for v in out)
+    # a second batch -> a second call (per-batch, not cached-forever)
+    _embed_batch("onnx", MockSession(), batch, DIM)
+    assert calls["n"] == 2
+
+
+def test_onnx_masked_pool_ignores_padding():
+    """Rows of different lengths in one padded batch must pool only
+    their real tokens: a row's embedding equals the one it gets when
+    embedded alone (no padding contamination)."""
+    import numpy as np
+    import pandas as pd
+
+    from fupi_spark.ingest import _embed_batch
+
+    DIM = 4
+
+    class EchoSession:
+        """hidden[i, j] = f(input_ids[i, j]) so pooling is checkable."""
+
+        def run(self, outputs, feeds):
+            ids = feeds["input_ids"]
+            h = np.stack(
+                [np.stack([np.full(DIM, float(v % 97)) for v in row]) for row in ids]
+            )
+            return [h]
+
+    long_short = pd.Series(["alpha beta gamma delta", "alpha"])
+    both = _embed_batch("onnx", EchoSession(), long_short, DIM)
+    alone = _embed_batch("onnx", EchoSession(), pd.Series(["alpha"]), DIM)
+    assert np.allclose(both[1], alone[0])
