@@ -218,20 +218,38 @@ def merge_into(
     else:
         target = spark.createDataFrame([], source.schema)
 
-    # -- classify: the north-rule hash-shuffle full-outer join, on KEYS
-    # only (the payload never rides this shuffle; with column pruning
-    # the target side reads a single string column of the touched files)
-    tk = target.select(F.col(MERGE_KEY).alias("_tk"))
-    sk = source.select(F.col(MERGE_KEY).alias("_sk"))
-    cls = tk.join(sk, tk["_tk"] == sk["_sk"], "full_outer")
-    c = cls.agg(
-        F.sum(F.when(F.col("_tk").isNotNull() & F.col("_sk").isNotNull(), 1).otherwise(0)).alias("matched"),
-        F.sum(F.when(F.col("_tk").isNull(), 1).otherwise(0)).alias("inserts"),
-        F.sum(F.when(F.col("_sk").isNull(), 1).otherwise(0)).alias("carries"),
-    ).collect()[0]
-    n_matched = int(c["matched"] or 0)
-    n_inserts = int(c["inserts"] or 0)
-    n_carries = int(c["carries"] or 0)
+    # -- classify: matched/insert/carry counts for the commit summary.
+    # DEFAULT PATH (plain upsert: one unconditional UPDATE clause +
+    # unconditional INSERT, no BY SOURCE clause) needs NO extra job —
+    # the counts are derivable after the write from sizes the commit
+    # already knows: n_target = Σ touched row_counts (manifest),
+    # n_result = Σ written rows, so inserts = n_result − n_target and
+    # matched = src_rows − inserts. Conditional/delete clauses make
+    # those ambiguous, so only they pay for the explicit key-only
+    # hash-shuffle FULL-OUTER classification join (the north-rule join;
+    # the payload never rides it either way).
+    default_upsert = (
+        when_not_matched == "insert"
+        and not_matched_condition is None
+        and not_matched_by_source is None
+        and matched_clauses is None
+        and when_matched == "update"
+        and matched_condition is None
+    )
+    if default_upsert:
+        n_matched = n_inserts = n_carries = None  # derived post-write
+    else:
+        tk = target.select(F.col(MERGE_KEY).alias("_tk"))
+        sk = source.select(F.col(MERGE_KEY).alias("_sk"))
+        cls = tk.join(sk, tk["_tk"] == sk["_sk"], "full_outer")
+        c = cls.agg(
+            F.sum(F.when(F.col("_tk").isNotNull() & F.col("_sk").isNotNull(), 1).otherwise(0)).alias("matched"),
+            F.sum(F.when(F.col("_tk").isNull(), 1).otherwise(0)).alias("inserts"),
+            F.sum(F.when(F.col("_sk").isNull(), 1).otherwise(0)).alias("carries"),
+        ).collect()[0]
+        n_matched = int(c["matched"] or 0)
+        n_inserts = int(c["inserts"] or 0)
+        n_carries = int(c["carries"] or 0)
 
     # -- rewrite: payload attach. Broadcast the source structs when
     # small so touched rows stream scan→write with no shuffle at all.
@@ -295,6 +313,13 @@ def merge_into(
         added = table.write_datafiles(result, job_id, sort_within=[MERGE_KEY])
     finally:
         _persisted_source.unpersist()
+
+    if default_upsert:
+        n_target = sum(e["row_count"] for e in touched)
+        n_result = sum(added.column("row_count").to_pylist())
+        n_inserts = n_result - n_target
+        n_matched = src_rows - n_inserts
+        n_carries = n_target - n_matched
 
     for i, e in enumerate(added.to_pylist()):
         log.complete_unit(
