@@ -9,21 +9,23 @@ becomes an explicit, resumable Spark job:
             the packer sees *files*, not rows — thousands of entries at
             10^12-row scale, safely driver-sized);
 2. rewrite— ZERO-shuffle job: compaction is pure concatenation, so no
-            row ever needs to change tasks. Each bin is one branch
-            (read its files → coalesce(1)); the union of branches is a
-            single job with exactly one task per bin, each task
-            streaming its input files into one output file via
-            ``write.partitionBy(_bin)``. Bins run in waves of 256 to
-            bound driver plan size at 10^5-bin scale;
+            row ever needs to change tasks. ONE single-branch scan of
+            all candidate files; each row's bin id attaches via a
+            BroadcastHashJoin on ``_metadata.file_path`` (map-side);
+            ``write.partitionBy(_bin)`` streams each bin into its own
+            file(s). The plan is O(1) in bin count — the round-2
+            union-of-branches design paid ~10 s of driver
+            analysis/codegen per 64-bin job, a constant that didn't
+            parallelize and capped the stage at every core count;
 3. record — per-bin lineage (files-in/out, bytes, rows) checkpointed
             before commit; a resumed job re-uses completed bins;
 4. commit — optimistic snapshot commit replacing packed files.
 
 Scale notes: no collect() of row data anywhere and NO shuffle at all —
 each task does sequential reads + one sequential write, which is the
-I/O floor for compaction; parallelism = number of bins, so a
-1000-executor cluster saturates as long as the packer produces ≥ that
-many bins per wave.
+I/O floor for compaction; parallelism = scan partitions (small files
+packed to maxPartitionBytes), so a 1000-executor cluster saturates
+whenever candidate bytes ≫ 1000 × maxPartitionBytes.
 """
 
 from __future__ import annotations
@@ -84,6 +86,8 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
     with stats recomputed as one DataFrame aggregation."""
     import pyarrow as pa  # noqa: F401
 
+    import uuid as _uuid
+
     dirs = sorted(
         (int(d.split("=")[1]), d)
         for d in os.listdir(staging)
@@ -91,10 +95,14 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
     )
     table.mark_job_active(job_id)
     promoted = []
+    # per-attempt nonce (constant within the run, so name order still
+    # follows the partition value): promotion can never overwrite a
+    # live file of an earlier run that reused the job id
+    nonce = _uuid.uuid4().hex[:6]
     for k, d in dirs:
         parts = sorted(f for f in os.listdir(f"{staging}/{d}") if f.endswith(".parquet"))
         for j, p in enumerate(parts):
-            rel = f"data/{job_id}-{k:06d}-{j:02d}.parquet"
+            rel = f"data/{job_id}-{nonce}-{k:06d}-{j:02d}.parquet"
             table.storage.promote(f"{staging}/{d}/{p}", rel)
             promoted.append(rel)
     shutil.rmtree(staging, ignore_errors=True)
@@ -136,6 +144,16 @@ def compact(
     would merge arbitrary files and widen every range back out."""
     spark = table.spark
     base = table.current_snapshot()
+    # idempotent re-submission: a job that already COMMITTED must be a
+    # no-op (its own output would otherwise re-qualify as candidates —
+    # and a multi-file bin's halves would genuinely re-pack, so the
+    # planner cannot distinguish "already done" from "new work" by
+    # looking at files alone). Mid-crash resume (no commit yet) still
+    # goes through the unit-lineage path below.
+    if job_id is not None:
+        for sid_done in table.snapshot_ids():
+            if table.snapshot(sid_done).summary.get("job_id") == job_id:
+                return None
     entries = table.manifest_entries(base).to_pylist()
     # bins NEVER mix schema generations (evolve.py): compaction streams
     # files byte-for-byte, so a bin must be physically homogeneous —
@@ -169,14 +187,25 @@ def compact(
 
     if todo:
         # Zero-shuffle rewrite: compaction is pure concatenation, so no
-        # data needs to move between tasks. Each bin becomes one branch
-        # (read its files → coalesce(1) → tag with bin id); the union of
-        # branches is ONE job with one task per bin, each task streaming
-        # its bin's files into one output file. Bins are processed in
-        # waves to bound the driver's plan size (relevant at 10^5 bins).
+        # data needs to move between tasks. ONE single-branch job per
+        # schema generation: scan all candidate files, attach each
+        # row's bin id via a BroadcastHashJoin on _metadata.file_path
+        # (map-side, no shuffle), write.partitionBy(_bin). Round 2
+        # built a union of one branch PER BIN instead — at 64 bins the
+        # driver spent ~10 s per compaction analyzing/codegen-ing the
+        # 64-branch plan, a constant that didn't parallelize and
+        # dominated the stage at every core count (measured: compact
+        # ~12 s at local[2] AND local[8] on a 0.35 GB table). The plan
+        # here is O(1) in bin count; the file→bin map is a broadcast of
+        # O(files) tiny rows, fine at 10^5 bins.
+        #
+        # Scan partitioning packs small files to maxPartitionBytes, so
+        # a bin's rows can span tasks → a bin may emit several files
+        # (promotion + lineage already handle multi-file bins); setting
+        # maxPartitionBytes ≈ target keeps it to ~1-2 per bin.
         #
         # Crash-resume hygiene: a previous attempt may have died between
-        # the wave write and the promote loop, leaving staged part files
+        # the write and the promote loop, leaving staged part files
         # that mode('append') would keep and the promote loop would then
         # rename alongside this attempt's output (duplicate rows). Done
         # bins' files were already renamed out of staging, so wiping the
@@ -184,48 +213,57 @@ def compact(
         shutil.rmtree(table.stage_dir(job_id), ignore_errors=True)
         staging = table.stage_dir(job_id)
         table.mark_job_active(job_id)
-        # one footer read PER SCHEMA GENERATION, then every branch skips
-        # inference (34 branches x footer reads would serialize on the
-        # driver and starve the executors). Bins are generation-pure by
-        # construction, so each branch reads with its exact physical
-        # schema — files of different generations never share a read.
+        # one write pass per schema generation (mixing would pad old
+        # files into the new physical schema); bins are generation-pure
         entry_sid = {e["file_path"]: (e.get("schema_id") or 0) for e in entries}
-        schema_by_sid = {}
-        for b in todo:
-            sid = entry_sid[b.files[0]["file_path"]]
-            if sid not in schema_by_sid:
-                schema_by_sid[sid] = spark.read.parquet(
-                    f"{table.root}/{b.files[0]['file_path']}"
-                ).schema
-        # one write pass per schema generation (a union across
-        # generations would pad missing columns and silently rewrite old
-        # files into the new physical schema); within a generation, bins
-        # union and write in waves exactly as before
-        wave_size = 256
         by_sid: dict = {}
         for b in todo:
             by_sid.setdefault(entry_sid[b.files[0]["file_path"]], []).append(b)
+        # pack scan partitions to ~the bin target so a bin's rows land
+        # in one task → (mostly) one output file per bin. minPartitionNum
+        # must drop to 1: its default (defaultParallelism) would split
+        # the packed read back into core-count slices regardless of
+        # bytes — compaction's parallelism is total bytes / target by
+        # design, which exceeds any cluster's core count at real scale.
+        conf = spark.conf
+        old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+        old_mpn = conf.get("spark.sql.files.minPartitionNum", None)
+        old_oc = conf.get("spark.sql.files.openCostInBytes")
+        conf.set("spark.sql.files.maxPartitionBytes", str(max(target_bytes, 4 << 20)))
+        conf.set("spark.sql.files.minPartitionNum", "1")
+        # openCost (default 4 MB) padding would force one small file per
+        # partition — here packing must be purely byte-bounded
+        conf.set("spark.sql.files.openCostInBytes", "0")
         for sid in sorted(by_sid):
             sid_bins = by_sid[sid]
-            for w in range(0, len(sid_bins), wave_size):
-                wave = sid_bins[w : w + wave_size]
-                branches = []
-                for b in wave:
-                    br = spark.read.schema(schema_by_sid[sid]).parquet(
-                        *[f"{table.root}/{e['file_path']}" for e in b.files]
-                    ).coalesce(1)
-                    br = br.withColumn("_bin", F.lit(b.bin_id))
-                    if sort_within:
-                        # lead with _bin: the partitionBy writer requires
-                        # it sorted and would otherwise re-sort unstably
-                        br = br.sortWithinPartitions("_bin", *sort_within)
-                    branches.append(br)
-                df = branches[0]
-                for br in branches[1:]:
-                    df = df.unionByName(br)
-                df.write.mode("append").partitionBy("_bin").parquet(staging)
+            bin_map = [
+                (f"{table.root}/{e['file_path']}", b.bin_id)
+                for b in sid_bins
+                for e in b.files
+            ]
+            map_df = spark.createDataFrame(bin_map, "_abs string, _bin int")
+            df = spark.read.parquet(*[p for p, _ in bin_map])
+            df = df.withColumn(
+                "_abs",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).join(F.broadcast(map_df), "_abs").drop("_abs")
+            # _bin leads the in-task sort so the partitionBy writer's
+            # required ordering is already satisfied (it would otherwise
+            # insert its own unstable sort)
+            df = df.sortWithinPartitions("_bin", *(sort_within or []))
+            df.write.mode("append").partitionBy("_bin").parquet(staging)
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_oc)
+        if old_mpn is None:
+            conf.unset("spark.sql.files.minPartitionNum")
+        else:
+            conf.set("spark.sql.files.minPartitionNum", old_mpn)
 
-        # promote each bin's output into data/ and checkpoint lineage
+        # promote each bin's output into data/ and checkpoint lineage.
+        # A per-ATTEMPT nonce in the name makes promotion collision-free:
+        # without it, a job-id reuse (or the pre-idempotence re-run bug)
+        # could os.rename over a LIVE data file of the earlier run.
+        nonce = uuid.uuid4().hex[:6]
         for b in todo:
             bin_dir = f"{staging}/_bin={b.bin_id}"
             parts = sorted(
@@ -234,7 +272,7 @@ def compact(
             files_out = []
             bytes_out = 0
             for i, p in enumerate(parts):
-                rel = f"data/{job_id}-b{b.bin_id:05d}-{i:03d}.parquet"
+                rel = f"data/{job_id}-{nonce}-b{b.bin_id:05d}-{i:03d}.parquet"
                 table.storage.promote(f"{bin_dir}/{p}", rel)
                 files_out.append(rel)
                 bytes_out += table.storage.size(rel)

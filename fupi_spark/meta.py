@@ -442,9 +442,12 @@ class Table:
         self.mark_job_active(job_id)
         self.storage.ensure_dir("data")
         entries = []
+        # per-attempt nonce: a job-id reuse must never rename over a
+        # live data file of an earlier run
+        nonce = uuid.uuid4().hex[:6]
         for i, r in enumerate(sorted(stats, key=lambda r: r["file_path"])):
             src_local = local_path(r["file_path"])
-            rel = f"data/{job_id}-{i:05d}.parquet"
+            rel = f"data/{job_id}-{nonce}-{i:05d}.parquet"
             self.storage.promote(src_local, rel)
             e = {
                 "file_path": rel,

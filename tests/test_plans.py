@@ -59,19 +59,25 @@ def test_compact_plan_has_no_shuffle(spark, tmp_table_dir):
     meta.append(t, synth_clips(spark, 120, dur_range_ms=(50, 80)), job_id="seed", parts=12)
     entries = t.manifest_entries().to_pylist()
     bins = ffd_pack(entries, 1 << 30)
-    schema = spark.read.parquet(f"{t.root}/{bins[0].files[0]['file_path']}").schema
-    branches = [
-        spark.read.schema(schema)
-        .parquet(*[f"{t.root}/{e['file_path']}" for e in b.files])
-        .coalesce(1)
-        .withColumn("_bin", F.lit(b.bin_id))
-        for b in bins
+    # mirror compact's rewrite: one scan + broadcast file→bin map — the
+    # payload must cross NO shuffle (broadcast of the tiny map is the
+    # only exchange) and the plan is O(1) in bin count
+    bin_map = [
+        (f"{t.root}/{e['file_path']}", b.bin_id) for b in bins for e in b.files
     ]
-    df = branches[0]
-    for br in branches[1:]:
-        df = df.unionByName(br)
+    map_df = spark.createDataFrame(bin_map, "_abs string, _bin int")
+    df = (
+        spark.read.parquet(*[p_ for p_, _ in bin_map])
+        .withColumn(
+            "_abs", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        )
+        .join(F.broadcast(map_df), "_abs")
+        .drop("_abs")
+    )
     p = plan_of(df)
-    assert "Exchange" not in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_merge_prune_join_is_metadata_only(spark, tmp_table_dir):
