@@ -220,13 +220,35 @@ def run_scaling(workdir: str) -> dict:
         k: round((best[n]["stages"][k] / best[4 * n]["stages"][k]) / 4, 3)
         for k in best[n]["stages"]
     }
+    # Three statistics, because shared-host noise is bursty and
+    # ASYMMETRIC between interleaved runs (measured 4x swings within
+    # minutes), and each statistic fails differently:
+    # - min-of-k per level (the r1/r2 protocol): unbiased only if both
+    #   levels get a quiet window among k reps;
+    # - median of per-pair ratios: each interleaved (N, 4N) pair shares
+    #   one noise regime, so the ratio is partially noise-cancelling;
+    # - composite of per-stage minima: the best-case quiet-host profile
+    #   at each level (optimistic per level, consistent across levels).
+    pair_eff = sorted(
+        (a["total_sec"] / b["total_sec"]) / 4
+        for a, b in zip(runs[n], runs[4 * n])
+    )
+    median_pair = pair_eff[len(pair_eff) // 2]
+    comp_n = sum(min(m["stages"][k] for m in runs[n]) for k in best[n]["stages"])
+    comp_4n = sum(min(m["stages"][k] for m in runs[4 * n]) for k in best[n]["stages"])
     return {
         "t_n_sec": t_n,
         "t_4n_sec": t_4n,
         "n": n,
         "clips": clips,
         "efficiency": round((t_n / t_4n) / 4, 3),
+        "efficiency_median_pair": round(median_pair, 3),
+        "efficiency_stage_min_composite": round((comp_n / comp_4n) / 4, 3),
+        "stage_min_composite_sec": {"t_n": round(comp_n, 3), "t_4n": round(comp_4n, 3)},
         "per_stage_efficiency": stage_eff,
+        "all_totals": {
+            f"local[{c}]": [m["total_sec"] for m in runs[c]] for c in (n, 4 * n)
+        },
         "detail": {f"local[{c}]": best[c] for c in (n, 4 * n)},
     }
 
@@ -260,11 +282,52 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def run_controls(spark, workdir: str, n_clips: int) -> dict:
+    """Scaling-control jobs for the N-vs-4N decomposition: (a) a bare
+    no-engine-code read→repartition→write of the same bytes (the host's
+    bulk-I/O scaling floor), (b) a compute-only synth job (sin kernels,
+    no write). Run each at two core counts to bracket where the
+    end-to-end number can land on this host."""
+    from pyspark.sql import functions as F
+
+    from fupi_spark.synth import synth_clips
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    warmup(spark)
+    out = {}
+    src = f"{workdir}/src"
+    synth_clips(spark, n_clips, dur_range_ms=(100, 500), parts=256).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    t0 = time.perf_counter()
+    spark.read.parquet(src).repartition(64).write.mode("overwrite").parquet(
+        f"{workdir}/out"
+    )
+    out["bare_io_sec"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n = (
+        synth_clips(spark, n_clips, dur_range_ms=(100, 500), parts=256)
+        .agg(F.sum(F.length("bytes")))
+        .collect()[0][0]
+    )
+    out["synth_compute_sec"] = round(time.perf_counter() - t0, 3)
+    out["synth_bytes"] = int(n)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--maintenance-json":
         cores, wd, clips = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
         s = build_spark(cores)
         print(json.dumps(run_maintenance(s, wd, clips)))
+        s.stop()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--controls-json":
+        cores, wd, clips = int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+        s = build_spark(cores)
+        print(json.dumps(run_controls(s, wd, clips)))
         s.stop()
     else:
         main()
