@@ -94,17 +94,19 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
         if d.startswith(f"{part_col}=")
     )
     table.mark_job_active(job_id)
-    promoted = []
     # per-attempt nonce (constant within the run, so name order still
     # follows the partition value): promotion can never overwrite a
     # live file of an earlier run that reused the job id
     nonce = _uuid.uuid4().hex[:6]
+    pairs = []
     for k, d in dirs:
         parts = sorted(f for f in os.listdir(f"{staging}/{d}") if f.endswith(".parquet"))
         for j, p in enumerate(parts):
-            rel = f"data/{job_id}-{nonce}-{k:06d}-{j:02d}.parquet"
-            table.storage.promote(f"{staging}/{d}/{p}", rel)
-            promoted.append(rel)
+            pairs.append(
+                (f"{staging}/{d}/{p}", f"data/{job_id}-{nonce}-{k:06d}-{j:02d}.parquet")
+            )
+    table.storage.promote_many(pairs)
+    promoted = [rel for _src, rel in pairs]
     shutil.rmtree(staging, ignore_errors=True)
 
     new_df = table.spark.read.parquet(*[f"{table.root}/{p}" for p in promoted])
@@ -264,24 +266,31 @@ def compact(
         # without it, a job-id reuse (or the pre-idempotence re-run bug)
         # could os.rename over a LIVE data file of the earlier run.
         nonce = uuid.uuid4().hex[:6]
+        bin_outs: dict[int, list[str]] = {}
+        pairs = []
         for b in todo:
             bin_dir = f"{staging}/_bin={b.bin_id}"
             parts = sorted(
                 f for f in os.listdir(bin_dir) if f.endswith(".parquet")
             )
-            files_out = []
-            bytes_out = 0
+            outs = []
             for i, p in enumerate(parts):
                 rel = f"data/{job_id}-{nonce}-b{b.bin_id:05d}-{i:03d}.parquet"
-                table.storage.promote(f"{bin_dir}/{p}", rel)
-                files_out.append(rel)
-                bytes_out += table.storage.size(rel)
+                pairs.append((f"{bin_dir}/{p}", rel))
+                outs.append(rel)
+            bin_outs[b.bin_id] = outs
+        # concurrent promotion first, THEN per-bin checkpoints — a unit
+        # record must never precede its files (crash between them would
+        # resume a bin whose output is missing)
+        table.storage.promote_many(pairs)
+        for b in todo:
+            files_out = bin_outs[b.bin_id]
             log.complete_unit(
                 b.bin_id,
                 files_in=[e["file_path"] for e in b.files],
                 files_out=files_out,
                 bytes_in=b.byte_size,
-                bytes_out=bytes_out,
+                bytes_out=sum(table.storage.size(p) for p in files_out),
                 rows=b.row_count,
             )
         shutil.rmtree(staging, ignore_errors=True)

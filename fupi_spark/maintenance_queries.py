@@ -368,6 +368,46 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_resample",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CEIL(CAST(n0 AS DOUBLE) * 16000 / sr_hz) AS BIGINT)) AS BIGINT)
+         AS sum_resampled_samples,
+       16000 AS target_sr
+FROM (
+  SELECT sr_hz,
+         GREATEST(1, CAST(FLOOR(CAST(sr_hz AS DOUBLE) * dur_ms / 1000) AS BIGINT)) AS n0
+  FROM read_parquet('{SCRATCH}/resample_meta/*.parquet')
+)
+""",
+)
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyphase resample to 16 kHz (audio.resample_clips): every
+    output clip must decode to exactly ceil(n0 · 16000 / sr0) samples
+    (the rational-resampler length contract). The engine decodes the
+    actual resampled payload bytes; the oracle derives the expected
+    totals purely from the metadata sidecar."""
+    from .audio import extract_features, resample_clips
+    from .synth import synth_clips
+
+    meta_path = f"{SCRATCH}/resample_meta"
+    shutil.rmtree(meta_path, ignore_errors=True)
+    clips = synth_clips(spark, 150, dur_range_ms=(50, 120), parts=6)
+    clips.select("clip_id", "sr_hz", "dur_ms").write.mode("overwrite").parquet(
+        meta_path
+    )
+    out = resample_clips(clips, 16000)
+    feats = extract_features(out)
+    return (
+        feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_samples").alias("sum_resampled_samples"),
+        )
+        .withColumn("target_sr", F.lit(16000))
+    )
+
+
+@register(
     "lakehouse_schema_evolution",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -207,7 +207,13 @@ def merge_into(
     touched_paths = [e["file_path"] for e in touched]
 
     if touched_paths:
-        target = spark.read.parquet(*[f"{table.root}/{p}" for p in touched_paths])
+        # evolution-aware read: touched files may span schema
+        # generations (evolve.py); _read_files merges footers and
+        # replays the ops so the rewrite materializes the declared
+        # schema (CoW naturally retires evolution debt)
+        target = table._read_files(
+            [f"{table.root}/{p}" for p in touched_paths], base
+        )
         # legacy table written before the integrity column existed:
         # align the source (the column reappears at the next full write)
         from .integrity import CRC_COL

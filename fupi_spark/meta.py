@@ -445,10 +445,13 @@ class Table:
         # per-attempt nonce: a job-id reuse must never rename over a
         # live data file of an earlier run
         nonce = uuid.uuid4().hex[:6]
-        for i, r in enumerate(sorted(stats, key=lambda r: r["file_path"])):
-            src_local = local_path(r["file_path"])
-            rel = f"data/{job_id}-{nonce}-{i:05d}.parquet"
-            self.storage.promote(src_local, rel)
+        ordered = sorted(stats, key=lambda r: r["file_path"])
+        pairs = [
+            (local_path(r["file_path"]), f"data/{job_id}-{nonce}-{i:05d}.parquet")
+            for i, r in enumerate(ordered)
+        ]
+        self.storage.promote_many(pairs)
+        for (_src, rel), r in zip(pairs, ordered):
             e = {
                 "file_path": rel,
                 "row_count": r["row_count"],

@@ -133,6 +133,22 @@ class Storage:
         contract — callers commit only after promote returns)."""
         raise NotImplementedError
 
+    def promote_many(self, pairs: list[tuple[str, str]], max_workers: int = 16) -> None:
+        """Promote a batch concurrently. A maintenance job promotes
+        O(output files) objects; serially that is an O(files) driver
+        stall — microseconds per rename locally, but a full network
+        round-trip each on an object store, where 10^4 files at ~50 ms
+        would cost minutes. Thread pool: promotes are independent
+        (distinct destinations) and GIL-released (os.rename / boto3 I/O)."""
+        if len(pairs) <= 1:
+            for src, rel in pairs:
+                self.promote(src, rel)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(pairs))) as ex:
+            list(ex.map(lambda p: self.promote(*p), pairs))
+
     def ensure_dir(self, prefix: str) -> None:
         """Directory creation is a no-op on object stores; local
         filesystems need it before Spark writes there."""

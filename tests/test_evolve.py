@@ -92,6 +92,30 @@ def test_compact_never_mixes_schema_generations(spark, tmp_table_dir):
     assert got.filter(F.col("lang") == "bg").count() == 40
 
 
+def test_merge_into_evolved_table(spark, tmp_table_dir):
+    """MERGE over a table whose touched files predate an ADD COLUMN:
+    the rewrite must read old files with the declared schema (default
+    filled), update matched rows, and land evolved-schema output."""
+    from fupi_spark.merge import merge_into
+
+    t = make_table(spark, tmp_table_dir, n=50, parts=2)
+    add_column(t, "lang", "string", default="en")
+    upd = (
+        t.scan()
+        .orderBy("clip_id")
+        .limit(5)
+        .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" v2")))
+        .withColumn("lang", F.lit("bg"))
+    ).cache()
+    upd.count()
+    merge_into(t, upd, job_id="m-evolved")
+    got = t.scan()
+    assert got.count() == 50
+    assert got.filter(F.col("lang") == "bg").count() == 5
+    assert got.filter(F.col("lang") == "en").count() == 45
+    assert got.filter(F.col("transcript").like("% v2")).count() == 5
+
+
 def test_cluster_materializes_evolved_schema_and_verify_green(spark, tmp_table_dir):
     from fupi_spark.cluster import cluster
     from fupi_spark.integrity import verify_table
