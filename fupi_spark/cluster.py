@@ -1,5 +1,7 @@
 """Multi-dimensional clustering rewrite: Z-order or Hilbert over
-(clip_id, sr_hz, dur_ms, codec), per the north rule.
+(clip_id, sr_hz, dur_ms, codec), per the north rule — plus ``linear``
+(plain Iceberg sort order by clip_id), the layout that trades
+multi-dimensional scan locality for sharp MERGE file pruning.
 
 Physical plan (idiomatic Spark, no RDDs):
 
@@ -100,16 +102,40 @@ def curve_key_udf(bounds: dict, curve: str = "zorder"):
     return key
 
 
-def _bucket_expr(boundaries: list[int]):
-    """bucket = #boundaries strictly below _zval — a JVM-side fold over
-    a literal array; O(log n) would need a UDF, O(n_boundaries) stays in
-    codegen and n is small (≤ thousands)."""
-    arr = F.array(*[F.lit(int(b)) for b in boundaries])
+def _bucket_expr(boundaries: list, key_col: str = "_zval"):
+    """bucket = #boundaries strictly below the key — a JVM-side fold
+    over a literal array; O(log n) would need a UDF, O(n_boundaries)
+    stays in codegen and n is small (≤ thousands). Works for int curve
+    keys and for raw string keys (linear layout) alike — Spark's
+    comparison semantics order both."""
+    arr = F.array(*[F.lit(b) for b in boundaries])
     return F.aggregate(
         arr,
         F.lit(0),
-        lambda acc, b: acc + F.when(F.col("_zval") > b, F.lit(1)).otherwise(F.lit(0)),
+        lambda acc, b: acc + F.when(F.col(key_col) > b, F.lit(1)).otherwise(F.lit(0)),
     )
+
+
+def _linear_boundaries(table: Table, n_out: int, rows_total: int) -> list[str]:
+    """Range boundaries for the linear (plain sort-order) layout,
+    directly on the clip_id STRING: a fixed-width u64 prefix is
+    degenerate when ids share a long common prefix (the synthetic ids
+    differ only past byte 8), and approxQuantile is numeric-only — so
+    sample the pruned key column (payload never read), sort the sample
+    on the driver, take every n-th value. ~200 samples per bucket keeps
+    bucket skew within a few percent. Driver state is O(n_out · 200)
+    strings; beyond ~10^5 output files use hierarchical two-level
+    bucketing (same caveat as dense_ids' literal map)."""
+    if n_out <= 1:
+        return []
+    frac = min(1.0, (n_out * 200) / max(rows_total, 1))
+    sample = sorted(
+        r[0]
+        for r in table.scan().select("clip_id").sample(fraction=frac, seed=7).collect()
+    )
+    if not sample:
+        return []
+    return [sample[(len(sample) * i) // n_out] for i in range(1, n_out)]
 
 
 def cluster(
@@ -126,29 +152,37 @@ def cluster(
     a degenerate hot key: one curve value holds more than a bucket's
     worth of rows, and no range split can divide it). 0 = off, N>1 =
     forced salt factor."""
-    assert curve in ("zorder", "hilbert")
+    assert curve in ("zorder", "hilbert", "linear")
     spark = table.spark
     base = table.current_snapshot()
     entries = table.manifest_entries(base).to_pylist()
+    if not entries:
+        raise ValueError("cannot cluster an empty table")
     total_bytes = sum(e["byte_size"] for e in entries)
     n_out = max(1, -(-total_bytes // target_bytes))
     job_id = job_id or f"cluster-{curve}-{uuid.uuid4().hex[:8]}"
 
-    bounds = dimension_bounds(table)
-    key_udf = curve_key_udf(bounds, curve)
-
-    # pass 1: quantile boundaries from the key columns only (payload
-    # never read — column pruning)
-    keys_only = table.scan().select(*CLUSTER_DIMS).withColumn(
-        "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
-    )
-    if n_out > 1:
-        qs = [i / n_out for i in range(1, n_out)]
-        raw_q = keys_only.approxQuantile("_zval", qs, 0.001)
-        boundaries = sorted(set(int(b) for b in raw_q))
+    # pass 1: range boundaries from the key columns only (payload never
+    # read — column pruning). linear buckets directly on the clip_id
+    # string (no curve key, no dimension_bounds codec job); the curves
+    # bucket on approxQuantile of the int64 curve key.
+    if curve == "linear":
+        rows_total = sum(e["row_count"] for e in entries)
+        raw_q = _linear_boundaries(table, n_out, rows_total)
+        boundaries = sorted(set(raw_q))
     else:
-        raw_q = []
-        boundaries = []
+        bounds = dimension_bounds(table)
+        key_udf = curve_key_udf(bounds, curve)
+        keys_only = table.scan().select(*CLUSTER_DIMS).withColumn(
+            "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
+        )
+        if n_out > 1:
+            qs = [i / n_out for i in range(1, n_out)]
+            raw_q = keys_only.approxQuantile("_zval", qs, 0.001)
+            boundaries = sorted(set(int(b) for b in raw_q))
+        else:
+            raw_q = []
+            boundaries = []
 
     # AUTO skew salting: duplicate quantile boundaries mean one curve
     # value owns more than a bucket's worth of rows — range splitting
@@ -166,10 +200,14 @@ def cluster(
     # pass 2: the rewrite shuffle (internal columns — the per-row _crc —
     # must ride the rewrite so the clustered files keep their integrity
     # column without touching the payload)
-    df = table.scan(include_internal=True).withColumn(
-        "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
-    )
-    bucket = _bucket_expr(boundaries) if boundaries else F.lit(0)
+    df = table.scan(include_internal=True)
+    if curve == "linear":
+        sort_cols = ["_bucket", "clip_id"]
+        bucket = _bucket_expr(boundaries, "clip_id") if boundaries else F.lit(0)
+    else:
+        df = df.withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
+        sort_cols = ["_bucket", "_zval", "clip_id"]
+        bucket = _bucket_expr(boundaries) if boundaries else F.lit(0)
     if effective_salt > 1:
         # spread each range bucket over hash sub-buckets of clip_id
         bucket = bucket * effective_salt + F.pmod(
@@ -183,7 +221,7 @@ def cluster(
         # ordering is already satisfied — otherwise it inserts its own
         # (unstable) sort by _bucket and destroys the curve order
         df.repartition((len(boundaries) + 1) * max(effective_salt, 1), F.col("_bucket"))
-        .sortWithinPartitions("_bucket", "_zval", "clip_id")
+        .sortWithinPartitions(*sort_cols)
         .drop("_zval")
         .write.mode("overwrite")
         .partitionBy("_bucket")

@@ -556,3 +556,59 @@ def fupi_ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sentence_ids",
         F.floor(F.col("distance") * 10000).alias("distance_e4"),
     )
+
+
+@register(
+    "lakehouse_merge_prune_linear",
+    oracle=f"""
+WITH keys AS (
+  SELECT clip_id FROM read_parquet('{SCRATCH}/prune/data/*.parquet')
+  ORDER BY clip_id LIMIT 5
+),
+files AS (
+  SELECT parse_filename(filename) AS file_name,
+         MIN(clip_id) AS min_clip_id,
+         MAX(clip_id) AS max_clip_id
+  FROM read_parquet('{SCRATCH}/prune/data/*.parquet', filename=true)
+  GROUP BY 1
+)
+SELECT f.file_name, f.min_clip_id, f.max_clip_id,
+       CAST(EXISTS (SELECT 1 FROM keys k
+                    WHERE k.clip_id BETWEEN f.min_clip_id AND f.max_clip_id)
+            AS INT) AS touched
+FROM files f
+ORDER BY f.file_name
+""",
+)
+def lakehouse_merge_prune_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (plain sort-order) clustering makes MERGE's min/max file
+    pruning sharp: the engine reports each live file's key range and
+    whether a 5-key range-localized source would touch it
+    (plan_touched_files — the planning step of MERGE INTO, read-only).
+    The oracle recomputes BOTH sides from the engine's parquet bytes:
+    per-file min/max from the footers via read_parquet(filename=true),
+    touched via the same range-intersection definition. Non-circular —
+    the engine answers from manifest stats, DuckDB from the files."""
+    from .cluster import cluster
+    from .expire import expire_snapshots
+    from .merge import plan_touched_files
+
+    t = _fresh(spark, "prune", 800, parts=16)
+    cluster(t, curve="linear", target_bytes=1 << 18, job_id="q-cluster-linear")
+    expire_snapshots(t, retain_last=1)
+
+    src = t.scan().select("clip_id").orderBy("clip_id").limit(5)
+    touched = {e["file_path"] for e in plan_touched_files(t, src, t.current_snapshot())}
+    rows = [
+        (
+            e["file_path"].rsplit("/", 1)[-1],
+            e["min_clip_id"],
+            e["max_clip_id"],
+            1 if e["file_path"] in touched else 0,
+        )
+        for e in t.manifest_entries().to_pylist()
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "file_name string, min_clip_id string, max_clip_id string, touched int",
+    )

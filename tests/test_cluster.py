@@ -118,6 +118,64 @@ def test_cluster_scan_order_matches_pandas_oracle(spark, tmp_table_dir, curve):
     assert sorted(engine_order) == sorted(pdf_before["clip_id"].tolist())
 
 
+def test_cluster_linear_order_is_sorted(spark, tmp_table_dir):
+    """linear = Iceberg plain sort order by clip_id: concatenating the
+    output files in name order must reproduce the lexicographic sort
+    (the 63-bit u64 prefix key is order-equivalent to the string on
+    ASCII ids, with clip_id itself as the in-partition tie-break)."""
+    import pyarrow.parquet as pq
+
+    t = make_table(spark, tmp_table_dir, n=400, parts=20)
+    ids_before = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+
+    snap = cluster(t, curve="linear", target_bytes=1 << 18)
+    assert snap.operation == "cluster"
+
+    engine_order = []
+    for e in sorted(t.manifest_entries().to_pylist(), key=lambda e: e["file_path"]):
+        engine_order += pq.read_table(f"{t.root}/{e['file_path']}", columns=["clip_id"])[
+            "clip_id"
+        ].to_pylist()
+    assert engine_order == ids_before
+    assert set(t.scan().columns) == {"clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"}
+
+
+def test_linear_layout_bounds_merge_pruning(spark, tmp_table_dir):
+    """The layout/workload trade, measured: after linear clustering the
+    per-file clip_id ranges are disjoint, so a MERGE whose source keys
+    all fall inside ONE file's range rewrites only that file — the
+    copy-on-write cost is O(source locality), not O(table)."""
+    from pyspark.sql import functions as F
+
+    from fupi_spark.merge import merge_into
+
+    t = make_table(spark, tmp_table_dir, n=400, parts=20)
+    cluster(t, curve="linear", target_bytes=1 << 18)
+    entries = sorted(t.manifest_entries().to_pylist(), key=lambda e: e["file_path"])
+    n_files = len(entries)
+    assert n_files >= 4, "fixture must produce a multi-file layout"
+
+    # source keys: 5 consecutive ids from the middle file's range
+    mid = entries[n_files // 2]
+    keys = (
+        spark.read.parquet(f"{t.root}/{mid['file_path']}")
+        .select("clip_id")
+        .orderBy("clip_id")
+        .limit(5)
+    )
+    src = (
+        t.scan()
+        .join(keys, "clip_id")
+        .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" v2")))
+    )
+    snap = merge_into(t, src, job_id="m-local")
+    assert snap.summary["touched_files"] == 1
+    assert snap.summary["matched_rows"] == 5
+    # the rewrite is audited too: updated rows present, total preserved
+    assert t.scan().filter(F.col("transcript").endswith(" v2")).count() == 5
+    assert t.scan().count() == 400
+
+
 def test_cluster_improves_pruning_bounds(spark, tmp_table_dir):
     """After Z-ordering, per-file clip_id ranges should be narrower than
     the random layout — that's the point of clustering (file skipping)."""
