@@ -116,7 +116,7 @@ def _bucket_expr(boundaries: list, key_col: str = "_zval"):
     )
 
 
-def _linear_boundaries(table: Table, n_out: int, rows_total: int) -> list[str]:
+def _linear_boundaries(keys_df, n_out: int, rows_total: int) -> list[str]:
     """Range boundaries for the linear (plain sort-order) layout,
     directly on the clip_id STRING: a fixed-width u64 prefix is
     degenerate when ids share a long common prefix (the synthetic ids
@@ -131,7 +131,7 @@ def _linear_boundaries(table: Table, n_out: int, rows_total: int) -> list[str]:
     frac = min(1.0, (n_out * 200) / max(rows_total, 1))
     sample = sorted(
         r[0]
-        for r in table.scan().select("clip_id").sample(fraction=frac, seed=7).collect()
+        for r in keys_df.select("clip_id").sample(fraction=frac, seed=7).collect()
     )
     if not sample:
         return []
@@ -168,7 +168,7 @@ def cluster(
     # bucket on approxQuantile of the int64 curve key.
     if curve == "linear":
         rows_total = sum(e["row_count"] for e in entries)
-        raw_q = _linear_boundaries(table, n_out, rows_total)
+        raw_q = _linear_boundaries(table.scan(), n_out, rows_total)
         boundaries = sorted(set(raw_q))
     else:
         bounds = dimension_bounds(table)
@@ -215,12 +215,28 @@ def cluster(
         )
     df = df.withColumn("_bucket", bucket)
 
+    n_parts = (len(boundaries) + 1) * max(effective_salt, 1)
+    return _write_clustered(
+        table, df, n_parts, sort_cols, job_id, entries, total_bytes, base,
+        summary={
+            "job_id": job_id,
+            "curve": curve,
+            "salt_buckets": effective_salt,
+        },
+    )
+
+
+def _write_clustered(
+    table, df, n_parts, sort_cols, job_id, removed_entries, bytes_in, base, summary
+) -> Snapshot:
+    """Shared rewrite tail: bucket-shuffled sorted write → atomic
+    promote → per-partition lineage → snapshot commit."""
     staging = table.stage_dir(job_id)
     (
         # _bucket leads the sort so the partitionBy writer's required
         # ordering is already satisfied — otherwise it inserts its own
         # (unstable) sort by _bucket and destroys the curve order
-        df.repartition((len(boundaries) + 1) * max(effective_salt, 1), F.col("_bucket"))
+        df.repartition(n_parts, F.col("_bucket"))
         .sortWithinPartitions(*sort_cols)
         .drop("_zval")
         .write.mode("overwrite")
@@ -231,13 +247,13 @@ def cluster(
 
     # per-partition lineage: one unit per output file
     log = LineageLog(table, job_id)
-    removed = [e["file_path"] for e in entries]
+    removed = [e["file_path"] for e in removed_entries]
     for i, e in enumerate(added.to_pylist()):
         log.complete_unit(
             i,
             files_in=removed if i == 0 else [],
             files_out=[e["file_path"]],
-            bytes_in=total_bytes if i == 0 else 0,
+            bytes_in=bytes_in if i == 0 else 0,
             bytes_out=e["byte_size"],
             rows=e["row_count"],
         )
@@ -247,10 +263,93 @@ def cluster(
         added,
         removed_paths=set(removed),
         base=base,
+        summary={**summary, "output_files": added.num_rows},
+    )
+
+
+def cluster_incremental(
+    table: Table,
+    curve: str = "zorder",
+    target_bytes: int = 128 * 1024 * 1024,
+    job_id: str | None = None,
+) -> Snapshot:
+    """Cluster ONLY the files added since the last cluster snapshot —
+    the 100 TB maintenance cadence: a full-table recluster rewrites
+    everything on every run, while steady-state churn is appends and
+    merges touching a small fraction. Iceberg's rewrite-data-files
+    "sort" strategy with a dirty-file filter is the same idea.
+
+    Semantics: every OUTPUT file of this job is internally curve-sorted
+    with tight key ranges (restoring manifest-stats pruning quality for
+    the new data); files already clustered by the previous cluster job
+    are not touched, so the rewrite cost is O(churn), not O(table).
+    The global file-name order == curve order invariant of a FULL
+    cluster() holds per clustering generation, not across them — the
+    trade that makes the incremental cadence affordable.
+
+    Falls back to a full cluster() when the table has never been
+    clustered. No-op (returns the current snapshot) when no files were
+    added since the last cluster."""
+    assert curve in ("zorder", "hilbert", "linear")
+    base = table.current_snapshot()
+    last_cluster = next(
+        (
+            s
+            for s in reversed(table.lineage_chain())
+            if s["operation"] == "cluster"
+        ),
+        None,
+    )
+    if last_cluster is None:
+        return cluster(table, curve=curve, target_bytes=target_bytes, job_id=job_id)
+
+    prev_live = set(table.live_files(table.snapshot(last_cluster["snapshot_id"])))
+    entries = [
+        e
+        for e in table.manifest_entries(base).to_pylist()
+        if e["file_path"] not in prev_live
+    ]
+    if not entries:
+        return base
+    job_id = job_id or f"cluster-inc-{curve}-{uuid.uuid4().hex[:8]}"
+    new_bytes = sum(e["byte_size"] for e in entries)
+    n_out = max(1, -(-new_bytes // target_bytes))
+
+    # keys-only boundary pass over the NEW files only; normalization
+    # bounds still come from the full manifest (metadata-only) so curve
+    # keys stay comparable across generations
+    paths = [f"{table.root}/{e['file_path']}" for e in entries]
+    new_df = table._read_files(paths, base)
+    if curve == "linear":
+        rows_total = sum(e["row_count"] for e in entries)
+        boundaries = sorted(set(_linear_boundaries(new_df, n_out, rows_total)))
+        df = new_df.withColumn(
+            "_bucket", _bucket_expr(boundaries, "clip_id") if boundaries else F.lit(0)
+        )
+        sort_cols = ["_bucket", "clip_id"]
+    else:
+        key_udf = curve_key_udf(dimension_bounds(table), curve)
+        keyed = new_df.withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
+        if n_out > 1:
+            # approxQuantile on the keyed frame still prunes to the 4
+            # dim columns (the UDF projection is the only dependency)
+            qs = [i / n_out for i in range(1, n_out)]
+            raw_q = keyed.approxQuantile("_zval", qs, 0.001)
+            boundaries = sorted(set(int(b) for b in raw_q))
+        else:
+            boundaries = []
+        df = keyed.withColumn(
+            "_bucket", _bucket_expr(boundaries) if boundaries else F.lit(0)
+        )
+        sort_cols = ["_bucket", "_zval", "clip_id"]
+
+    return _write_clustered(
+        table, df, len(boundaries) + 1, sort_cols, job_id, entries, new_bytes, base,
         summary={
             "job_id": job_id,
             "curve": curve,
-            "output_files": added.num_rows,
-            "salt_buckets": effective_salt,
+            "mode": "incremental",
+            "rewritten_bytes": new_bytes,
+            "untouched_files": len(prev_live & set(table.live_files(base))),
         },
     )

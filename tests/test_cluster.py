@@ -176,6 +176,51 @@ def test_linear_layout_bounds_merge_pruning(spark, tmp_table_dir):
     assert t.scan().count() == 400
 
 
+def test_cluster_incremental_rewrites_only_churn(spark, tmp_table_dir):
+    """Incremental clustering = the 100 TB cadence: after a full
+    cluster, an append's new files are reclustered WITHOUT touching the
+    already-clustered bulk — rewrite cost O(churn), not O(table)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fupi_spark import meta
+    from fupi_spark.cluster import cluster_incremental
+
+    t = make_table(spark, tmp_table_dir, n=400, parts=20)
+
+    # never clustered → falls back to a full cluster
+    snap = cluster_incremental(t, curve="zorder", target_bytes=1 << 18)
+    assert snap.operation == "cluster" and "mode" not in snap.summary
+    clustered = set(t.live_files())
+
+    # churn: append 100 new rows (distinct id space) as 4 small files
+    extra = synth_clips(spark, 100, seed=7, dur_range_ms=(50, 150), parts=4)
+    extra = extra.withColumn("clip_id", F.concat(F.lit("zz_"), F.col("clip_id")))
+    meta.append(t, extra, job_id="churn")
+
+    snap2 = cluster_incremental(t, curve="zorder", target_bytes=1 << 18)
+    assert snap2.summary["mode"] == "incremental"
+    live = set(t.live_files())
+    # the previously clustered files are untouched; only churn rewritten
+    assert clustered <= live
+    new_files = live - clustered
+    assert new_files and snap2.summary["removed_files"] == 4
+
+    # every new file is internally curve-sorted (pruning quality holds)
+    bounds = dimension_bounds(t)
+    for p in new_files:
+        pdf = pq.read_table(
+            f"{t.root}/{p}", columns=["clip_id", "sr_hz", "dur_ms", "codec"]
+        ).to_pandas()
+        expected = refimpl.cluster_order(pdf, bounds, "zorder")["clip_id"].tolist()
+        assert pdf["clip_id"].tolist() == expected
+
+    # row multiset intact; a second incremental run is a no-op
+    assert t.scan().count() == 500
+    snap3 = cluster_incremental(t, curve="zorder", target_bytes=1 << 18)
+    assert snap3.snapshot_id == snap2.snapshot_id
+
+
 def test_cluster_improves_pruning_bounds(spark, tmp_table_dir):
     """After Z-ordering, per-file clip_id ranges should be narrower than
     the random layout — that's the point of clustering (file skipping)."""
