@@ -221,6 +221,46 @@ def test_cluster_incremental_rewrites_only_churn(spark, tmp_table_dir):
     assert snap3.snapshot_id == snap2.snapshot_id
 
 
+def test_cluster_incremental_after_merge_linear(spark, tmp_table_dir):
+    """MERGE's copy-on-write output counts as churn: the next
+    incremental cluster (linear layout here) re-sorts exactly the
+    merge-written files and restores disjoint per-file key ranges."""
+    from pyspark.sql import functions as F
+
+    from fupi_spark.cluster import cluster_incremental
+    from fupi_spark.merge import merge_into
+
+    t = make_table(spark, tmp_table_dir, n=300, parts=15)
+    cluster_incremental(t, curve="linear", target_bytes=1 << 17)  # full (first)
+    before = set(t.live_files())
+
+    keys = t.scan().select("clip_id").orderBy("clip_id").limit(4)
+    src = (
+        t.scan()
+        .join(keys, "clip_id")
+        .withColumn("transcript", F.concat(F.col("transcript"), F.lit(" v2")))
+    )
+    merge_into(t, src, job_id="m-inc")
+    pre_inc = set(t.live_files())
+    merged_new = pre_inc - before
+
+    snap = cluster_incremental(t, curve="linear", target_bytes=1 << 17)
+    assert snap.summary["mode"] == "incremental"
+    live = set(t.live_files())
+    # bulk untouched by the merge survives; merge-written files were
+    # reclustered (removed and replaced by sorted output)
+    assert (pre_inc - merged_new) <= live
+    assert not (merged_new & live)
+    # reclustered output is internally sorted → ranges disjoint again
+    import pyarrow.parquet as pq
+
+    for p in live - pre_inc:
+        ids = pq.read_table(f"{t.root}/{p}", columns=["clip_id"])["clip_id"].to_pylist()
+        assert ids == sorted(ids)
+    assert t.scan().count() == 300
+    assert t.scan().filter(F.col("transcript").endswith(" v2")).count() == 4
+
+
 def test_cluster_improves_pruning_bounds(spark, tmp_table_dir):
     """After Z-ordering, per-file clip_id ranges should be narrower than
     the random layout — that's the point of clustering (file skipping)."""
