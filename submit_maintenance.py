@@ -10,7 +10,7 @@ multi-executor clusters. Package and run:
 Ops:
     pipeline  synth(--clips) → append small files → compact → cluster →
               merge 1% upsert → verify → expire   (the bench workload)
-    compact | cluster | merge-demo | expire | verify
+    compact | cluster | cluster-incremental | merge-demo | expire | verify
               individual maintenance jobs against an existing table
 
 The script takes its SparkSession from spark-submit (master/conf come
@@ -32,11 +32,16 @@ def main() -> int:
     p.add_argument(
         "--op",
         default="pipeline",
-        choices=["pipeline", "compact", "cluster", "merge-demo", "expire", "verify"],
+        choices=[
+            "pipeline", "compact", "cluster", "cluster-incremental",
+            "merge-demo", "expire", "verify",
+        ],
     )
     p.add_argument("--clips", type=int, default=2000)
     p.add_argument("--target-mb", type=int, default=128)
-    p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    p.add_argument(
+        "--curve", default="zorder", choices=["zorder", "hilbert", "linear"]
+    )
     p.add_argument("--retain-last", type=int, default=2)
     args = p.parse_args()
 
@@ -44,7 +49,7 @@ def main() -> int:
 
     from fupi_spark import meta
     from fupi_spark.audio import verify_clips
-    from fupi_spark.cluster import cluster
+    from fupi_spark.cluster import cluster, cluster_incremental
     from fupi_spark.compact import compact
     from fupi_spark.expire import expire_snapshots
     from fupi_spark.merge import merge_into
@@ -84,6 +89,10 @@ def main() -> int:
             report["snapshot"] = snap.snapshot_id if snap else None
         elif args.op == "cluster":
             report["snapshot"] = cluster(t, curve=args.curve, target_bytes=target).snapshot_id
+        elif args.op == "cluster-incremental":
+            snap = cluster_incremental(t, curve=args.curve, target_bytes=target)
+            report["snapshot"] = snap.snapshot_id
+            report["mode"] = snap.summary.get("mode", "full")
         elif args.op == "merge-demo":
             upd = (
                 t.scan()
