@@ -110,10 +110,16 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
     shutil.rmtree(staging, ignore_errors=True)
 
     new_df = table.spark.read.parquet(*[f"{table.root}/{p}" for p in promoted])
-    stats = {local_path(r["file_path"]): r for r in table._file_stats_df(new_df).collect()}
+    # key by basename, not by reconstructed absolute path: Spark reports
+    # its own canonical form of _metadata.file_path, which need not
+    # string-match f"{table.root}/..." under symlinks/relative roots
+    stats = {
+        r["file_path"].rsplit("/", 1)[-1]: r
+        for r in table._file_stats_df(new_df).collect()
+    }
     added_entries = []
     for p in promoted:
-        r = stats[f"{table.root}/{p}"]
+        r = stats[p.rsplit("/", 1)[-1]]
         e = {
             "file_path": p,
             "row_count": r["row_count"],
@@ -221,6 +227,15 @@ def compact(
         by_sid: dict = {}
         for b in todo:
             by_sid.setdefault(entry_sid[b.files[0]["file_path"]], []).append(b)
+        # the file→bin join below keys on _metadata.file_name (the
+        # basename) — immune to path-representation drift (symlinked or
+        # relative table roots, non-file:/ schemes) that a full-path
+        # string match would silently miss, dropping every row of a
+        # candidate while still removing the file at commit. Basenames
+        # are unique by construction (data/<job>-<nonce>-... in one
+        # namespace); assert it anyway.
+        all_names = [e["file_path"].rsplit("/", 1)[-1] for b in todo for e in b.files]
+        assert len(set(all_names)) == len(all_names), "duplicate data-file basenames"
         # pack scan partitions to ~the bin target so a bin's rows land
         # in one task → (mostly) one output file per bin. minPartitionNum
         # must drop to 1: its default (defaultParallelism) would split
@@ -231,35 +246,40 @@ def compact(
         old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
         old_mpn = conf.get("spark.sql.files.minPartitionNum", None)
         old_oc = conf.get("spark.sql.files.openCostInBytes")
-        conf.set("spark.sql.files.maxPartitionBytes", str(max(target_bytes, 4 << 20)))
-        conf.set("spark.sql.files.minPartitionNum", "1")
-        # openCost (default 4 MB) padding would force one small file per
-        # partition — here packing must be purely byte-bounded
-        conf.set("spark.sql.files.openCostInBytes", "0")
-        for sid in sorted(by_sid):
-            sid_bins = by_sid[sid]
-            bin_map = [
-                (f"{table.root}/{e['file_path']}", b.bin_id)
-                for b in sid_bins
-                for e in b.files
-            ]
-            map_df = spark.createDataFrame(bin_map, "_abs string, _bin int")
-            df = spark.read.parquet(*[p for p, _ in bin_map])
-            df = df.withColumn(
-                "_abs",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-            ).join(F.broadcast(map_df), "_abs").drop("_abs")
-            # _bin leads the in-task sort so the partitionBy writer's
-            # required ordering is already satisfied (it would otherwise
-            # insert its own unstable sort)
-            df = df.sortWithinPartitions("_bin", *(sort_within or []))
-            df.write.mode("append").partitionBy("_bin").parquet(staging)
-        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-        conf.set("spark.sql.files.openCostInBytes", old_oc)
-        if old_mpn is None:
-            conf.unset("spark.sql.files.minPartitionNum")
-        else:
-            conf.set("spark.sql.files.minPartitionNum", old_mpn)
+        try:
+            conf.set("spark.sql.files.maxPartitionBytes", str(max(target_bytes, 4 << 20)))
+            conf.set("spark.sql.files.minPartitionNum", "1")
+            # openCost (default 4 MB) padding would force one small file
+            # per partition — here packing must be purely byte-bounded
+            conf.set("spark.sql.files.openCostInBytes", "0")
+            for sid in sorted(by_sid):
+                sid_bins = by_sid[sid]
+                bin_map = [
+                    (e["file_path"].rsplit("/", 1)[-1], b.bin_id)
+                    for b in sid_bins
+                    for e in b.files
+                ]
+                map_df = spark.createDataFrame(bin_map, "_fname string, _bin int")
+                df = spark.read.parquet(
+                    *[f"{table.root}/{e['file_path']}" for b in sid_bins for e in b.files]
+                )
+                df = df.withColumn("_fname", F.col("_metadata.file_name")).join(
+                    F.broadcast(map_df), "_fname"
+                ).drop("_fname")
+                # _bin leads the in-task sort so the partitionBy writer's
+                # required ordering is already satisfied (it would
+                # otherwise insert its own unstable sort)
+                df = df.sortWithinPartitions("_bin", *(sort_within or []))
+                df.write.mode("append").partitionBy("_bin").parquet(staging)
+        finally:
+            # restore on EVERY path — leaked compaction tuning would
+            # skew every later job in the shared session
+            conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            conf.set("spark.sql.files.openCostInBytes", old_oc)
+            if old_mpn is None:
+                conf.unset("spark.sql.files.minPartitionNum")
+            else:
+                conf.set("spark.sql.files.minPartitionNum", old_mpn)
 
         # promote each bin's output into data/ and checkpoint lineage.
         # A per-ATTEMPT nonce in the name makes promotion collision-free:
@@ -268,10 +288,23 @@ def compact(
         nonce = uuid.uuid4().hex[:6]
         bin_outs: dict[int, list[str]] = {}
         pairs = []
+        import pyarrow.parquet as _pq
+
         for b in todo:
             bin_dir = f"{staging}/_bin={b.bin_id}"
             parts = sorted(
                 f for f in os.listdir(bin_dir) if f.endswith(".parquet")
+            )
+            # every input row must have reached the staged output — a
+            # partially-matched file→bin attach (or any writer fault)
+            # must fail HERE, before the inputs are removed at commit
+            # (cheap: O(outputs-per-bin) parquet footer reads)
+            staged_rows = sum(
+                _pq.ParquetFile(f"{bin_dir}/{p}").metadata.num_rows for p in parts
+            )
+            assert staged_rows == b.row_count, (
+                f"bin {b.bin_id}: staged {staged_rows} rows != "
+                f"{b.row_count} input rows — aborting before commit"
             )
             outs = []
             for i, p in enumerate(parts):

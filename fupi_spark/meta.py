@@ -385,19 +385,18 @@ class Table:
         if not entries:
             raise ValueError("empty table: no files in snapshot")
         ord_df = self.spark.createDataFrame(
-            [(f"{self.root}/{e['file_path']}", i) for i, e in enumerate(entries)],
-            "_abs string, _file_ord int",
+            [(e["file_path"].rsplit("/", 1)[-1], i) for i, e in enumerate(entries)],
+            "_fname string, _file_ord int",
         )
         df = self._drop_internal(
             self._read_files(
                 [f"{self.root}/{e['file_path']}" for e in entries], snap
             )
         )
-        # _metadata.file_path is a file:/ URI; normalize to a plain path
-        df = df.withColumn(
-            "_abs", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        )
-        return df.join(F.broadcast(ord_df), "_abs").drop("_abs")
+        # join on the basename (unique in data/) — robust to whatever
+        # canonical path form Spark reports in _metadata.file_path
+        df = df.withColumn("_fname", F.col("_metadata.file_name"))
+        return df.join(F.broadcast(ord_df), "_fname").drop("_fname")
 
     # -- writes --------------------------------------------------------------
     def stage_dir(self, job_id: str) -> str:
