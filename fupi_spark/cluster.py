@@ -5,35 +5,44 @@ multi-dimensional scan locality for sharp MERGE file pruning.
 
 Physical plan (idiomatic Spark, no RDDs):
 
-1. bounds from manifest stats (min/max per dimension aggregated over
-   file entries — zero extra data passes) + codec dictionary ranks;
+1. bounds ENTIRELY from manifest stats (min/max per dimension + codec
+   rank dictionary folded from per-file extremum stats — zero data
+   passes; planning is O(files) metadata);
 2. curve key via a vectorized numpy pandas UDF (zorder.morton4 /
-   zorder.hilbert4);
-3. explicit range buckets: approxQuantile over the curve key computed
-   from the *pruned* key columns only (parquet column pruning keeps the
-   audio payload out of this pass — repartitionByRange would instead
-   trigger a hidden sampling job that re-evaluates the full plan,
-   payload included, which we measured at ~2x the whole rewrite);
-4. bucket id assigned JVM-side (binary-search fold over the boundary
-   array), ONE hash shuffle on it, ``sortWithinPartitions(_zval,
-   clip_id)``, ``write.partitionBy(_bucket)`` — bucket directories are
-   renamed to range-ordered file names, so file-name order IS curve
-   order and concatenating files reproduces the global clustering order
-   (tested against the pandas oracle). A hash collision that co-locates
-   two buckets in one task still emits one file per bucket, each
+   zorder.hilbert4) — evaluated over the full data exactly ONCE, in
+   the rewrite pass;
+3. explicit range buckets from a ~200·n_buckets row SAMPLE of the
+   pruned key columns (sampling sits below the key expression, so the
+   curve UDF only touches sampled rows in planning; parquet column
+   pruning keeps the audio payload out entirely). Small bucket counts
+   stride-pick boundaries on the driver; past DRIVER_SAMPLE_MAX the
+   pick runs distributed via Spark's own range sampler
+   (repartitionByRange on the sampled keys + per-range min), so
+   ``linear`` clustering works past 10^5 output files with only the
+   O(n_buckets) boundary list ever reaching the driver;
+4. bucket id assigned JVM-side (codegen fold over the boundary array;
+   past BUCKET_FOLD_MAX boundaries a vectorized searchsorted pandas
+   UDF, O(log n) per row), ONE hash shuffle on it,
+   ``sortWithinPartitions(_zval, clip_id)``,
+   ``write.partitionBy(_bucket)`` — bucket directories are renamed to
+   range-ordered file names, so file-name order IS curve order and
+   concatenating files reproduces the global clustering order (tested
+   against the pandas oracle). A hash collision that co-locates two
+   buckets in one task still emits one file per bucket, each
    internally sorted, so the property survives;
 5. manifest rewrite + per-file stats recomputation, snapshot commit
    (operation='cluster'), per-partition lineage.
 
-Skew: quantile boundaries adapt to key density, so hot key regions
+Skew: sampled boundaries adapt to key density, so hot key regions
 (e.g. the synthetic 'hot' clip_id prefix) split across buckets — this
 is salting-by-quantile. For degenerate keys (one value dominating),
 ``salt_buckets`` appends a deterministic pmod(hash(clip_id), S) term to
 the bucket id, the classic salting pattern.
 
-Scale notes: two passes total — a key-column-only quantile pass and the
-rewrite shuffle. Both distribute across all executors; the boundary
-array (n_buckets-1 longs) is the only driver-side state.
+Scale notes: the planning pass costs O(sample) UDF work + one
+key-column sample scan; the rewrite is the only full-data pass and the
+only shuffle. The boundary array (n_buckets-1 values) is the only
+driver-side state.
 """
 
 from __future__ import annotations
@@ -55,8 +64,16 @@ CLUSTER_DIMS = ["clip_id", "sr_hz", "dur_ms", "codec"]
 
 
 def dimension_bounds(table: Table) -> dict:
-    """Global per-dimension bounds + codec rank dictionary, from the
-    manifest (file-level min/max) — no scan of the data itself."""
+    """Global per-dimension bounds + codec rank dictionary, ENTIRELY
+    from the manifest (file-level min/max stats) — zero data scans, so
+    cluster planning costs O(files) metadata regardless of table size.
+
+    The codec dictionary folds from the distinct values among the
+    per-file min_codec/max_codec stats. A (rare) codec value that never
+    appears as any file's extremum is absent from the dictionary; the
+    searchsorted rank used by curve_key_udf and refimpl places such a
+    value deterministically between its known neighbours, so ordering
+    stays total and consistent across engine and oracle."""
     entries = table.manifest_entries().to_pylist()
     if not entries:
         raise ValueError("cannot cluster an empty table")
@@ -68,18 +85,31 @@ def dimension_bounds(table: Table) -> dict:
         "dur_lo": min(e["min_dur_ms"] for e in entries),
         "dur_hi": max(e["max_dur_ms"] for e in entries),
     }
-    # codec dictionary: low cardinality by design (manifest min/max only
-    # bound the set) — one tiny distinct agg
-    codecs = sorted(r["codec"] for r in table.scan().select("codec").distinct().collect())
+    codecs = sorted(
+        {e["min_codec"] for e in entries if e["min_codec"] is not None}
+        | {e["max_codec"] for e in entries if e["max_codec"] is not None}
+    )
+    b["codec_ranks"] = codecs
     b["codec_rank"] = {c: i for i, c in enumerate(codecs)}
     b["codec_hi"] = max(len(codecs) - 1, 1)
     return b
 
 
+def codec_rank_array(codec: pd.Series, codecs: list[str]) -> np.ndarray:
+    """Rank a codec column against the sorted known-codec list via
+    searchsorted — identical semantics in the engine UDF and the pandas
+    oracle (refimpl.cluster_order), total order even for values the
+    manifest extremum stats never enumerated."""
+    known = np.array(codecs, dtype=object)
+    vals = codec.fillna("").to_numpy(dtype=object)
+    r = np.searchsorted(known, vals, side="left")
+    return np.minimum(r, max(len(codecs) - 1, 0))
+
+
 def curve_key_udf(bounds: dict, curve: str = "zorder"):
     """Vectorized pandas UDF (clip_id, sr_hz, dur_ms, codec) → int64
     curve key."""
-    rank = bounds["codec_rank"]
+    codecs = bounds.get("codec_ranks") or sorted(bounds["codec_rank"])
     chi = bounds["codec_hi"]
 
     @F.pandas_udf(T.LongType())
@@ -92,7 +122,7 @@ def curve_key_udf(bounds: dict, curve: str = "zorder"):
             )
             d1 = zorder.normalize_to_grid(sr.to_numpy(), bounds["sr_lo"], bounds["sr_hi"])
             d2 = zorder.normalize_to_grid(dur.to_numpy(), bounds["dur_lo"], bounds["dur_hi"])
-            d3 = zorder.normalize_to_grid(codec.map(rank).fillna(0).to_numpy(), 0, chi)
+            d3 = zorder.normalize_to_grid(codec_rank_array(codec, codecs), 0, chi)
             if curve == "hilbert":
                 z = zorder.hilbert4(np.stack([d0, d1, d2, d3], axis=1))
             else:
@@ -102,12 +132,21 @@ def curve_key_udf(bounds: dict, curve: str = "zorder"):
     return key
 
 
-def _bucket_expr(boundaries: list, key_col: str = "_zval"):
+#: boundaries per bucket sampled for range planning
+SAMPLES_PER_BUCKET = 200
+#: above this expected sample size the boundary pick runs distributed
+#: (tests force 0 to exercise the hierarchical path)
+DRIVER_SAMPLE_MAX = 1_000_000
+#: above this many boundaries the per-row bucket assignment switches
+#: from the codegen fold (O(n_boundaries) per row) to a vectorized
+#: searchsorted pandas UDF (O(log n) per row)
+BUCKET_FOLD_MAX = 512
+
+
+def _bucket_fold_expr(boundaries: list, key_col: str):
     """bucket = #boundaries strictly below the key — a JVM-side fold
-    over a literal array; O(log n) would need a UDF, O(n_boundaries)
-    stays in codegen and n is small (≤ thousands). Works for int curve
-    keys and for raw string keys (linear layout) alike — Spark's
-    comparison semantics order both."""
+    over a literal array; stays inside whole-stage codegen. Works for
+    int curve keys and raw string keys (linear layout) alike."""
     arr = F.array(*[F.lit(b) for b in boundaries])
     return F.aggregate(
         arr,
@@ -116,26 +155,71 @@ def _bucket_expr(boundaries: list, key_col: str = "_zval"):
     )
 
 
-def _linear_boundaries(keys_df, n_out: int, rows_total: int) -> list[str]:
-    """Range boundaries for the linear (plain sort-order) layout,
-    directly on the clip_id STRING: a fixed-width u64 prefix is
-    degenerate when ids share a long common prefix (the synthetic ids
-    differ only past byte 8), and approxQuantile is numeric-only — so
-    sample the pruned key column (payload never read), sort the sample
-    on the driver, take every n-th value. ~200 samples per bucket keeps
-    bucket skew within a few percent. Driver state is O(n_out · 200)
-    strings; beyond ~10^5 output files use hierarchical two-level
-    bucketing (same caveat as dense_ids' literal map)."""
+def _bucket_expr(boundaries: list, key_col: str = "_zval"):
+    """Range-bucket assignment for a sorted boundary list. Small lists
+    use the codegen fold (no Python in the hot path); past
+    BUCKET_FOLD_MAX the fold's O(n_boundaries)-per-row literal plan
+    stops scaling (10^5 output files ⇒ 10^5 comparisons per row and a
+    plan-embedded literal of that size), so the assignment moves to a
+    vectorized numpy searchsorted over an Arrow batch — O(log n) per
+    row, boundaries shipped once per worker in the closure."""
+    if len(boundaries) <= BUCKET_FOLD_MAX:
+        return _bucket_fold_expr(boundaries, key_col)
+    barr = np.array(boundaries, dtype=object)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            v = s.to_numpy(dtype=object)
+            yield pd.Series(np.searchsorted(barr, v, side="left")).astype("int32")
+
+    return assign(F.col(key_col))
+
+
+def _range_boundaries(df, key_col: str, n_out: int, rows_total: int) -> list:
+    """Range boundaries for ``n_out`` buckets over ``df[key_col]``.
+    Callers pass a frame already reduced to a ~SAMPLES_PER_BUCKET·n_out
+    row sample via ``_sampled`` (sampling happens BELOW the key
+    expression, so an expensive key UDF only evaluates sampled rows).
+
+    Two paths by expected sample size:
+    - driver path: collect the sampled keys, sort, stride-pick — fine
+      up to ~10^6 samples (≈5·10^3 output files);
+    - distributed path (hierarchical): range-shuffle the sampled keys
+      with Spark's own range sampler (repartitionByRange) and take each
+      range's minimum as a boundary — only O(n_out) boundary values
+      ever reach the driver, so ``linear`` clustering works past 10^5
+      output files.
+
+    Works for numeric curve keys and raw strings alike (approxQuantile
+    is numeric-only and a fixed-width u64 string prefix is degenerate
+    under long shared prefixes — stride-picking actual values is not).
+    Returned list may contain duplicates under hot keys; callers dedupe
+    and use the collapse count for skew salting."""
     if n_out <= 1:
         return []
-    frac = min(1.0, (n_out * 200) / max(rows_total, 1))
-    sample = sorted(
-        r[0]
-        for r in keys_df.select("clip_id").sample(fraction=frac, seed=7).collect()
+    if n_out * SAMPLES_PER_BUCKET <= DRIVER_SAMPLE_MAX:
+        vals = sorted(r[0] for r in df.select(key_col).collect())
+        if not vals:
+            return []
+        return [vals[(len(vals) * i) // n_out] for i in range(1, n_out)]
+    mins = (
+        df.select(key_col)
+        .repartitionByRange(n_out, F.col(key_col))
+        .groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.min(key_col).alias("_lo"))
+        .collect()
     )
-    if not sample:
-        return []
-    return [sample[(len(sample) * i) // n_out] for i in range(1, n_out)]
+    lows = [r["_lo"] for r in sorted(mins, key=lambda r: r["_pid"])]
+    return lows[1:]  # the first range's min is the global min, not a boundary
+
+
+def _sampled(df, n_out: int, rows_total: int):
+    """Pre-key sampling for the boundary pass: the expensive key
+    expression (curve UDF) downstream only ever sees ~200·n_out rows,
+    so the planning pass costs O(sample), not O(table)."""
+    frac = min(1.0, (n_out * SAMPLES_PER_BUCKET) / max(rows_total, 1))
+    return df if frac >= 1.0 else df.sample(fraction=frac, seed=7)
 
 
 def cluster(
@@ -162,40 +246,38 @@ def cluster(
     n_out = max(1, -(-total_bytes // target_bytes))
     job_id = job_id or f"cluster-{curve}-{uuid.uuid4().hex[:8]}"
 
-    # pass 1: range boundaries from the key columns only (payload never
-    # read — column pruning). linear buckets directly on the clip_id
-    # string (no curve key, no dimension_bounds codec job); the curves
-    # bucket on approxQuantile of the int64 curve key.
+    # pass 1 (planning): range boundaries from a SAMPLE of the key
+    # columns only — the payload is never read (column pruning) and the
+    # curve UDF only ever evaluates ~200·n_out sampled rows, so the
+    # full-data UDF evaluation happens exactly once (in the rewrite).
+    # linear buckets directly on the clip_id string (no curve key, no
+    # dimension_bounds job).
+    rows_total = sum(e["row_count"] for e in entries)
     if curve == "linear":
-        rows_total = sum(e["row_count"] for e in entries)
-        raw_q = _linear_boundaries(table.scan(), n_out, rows_total)
+        keyed_sample = _sampled(table.scan().select("clip_id"), n_out, rows_total)
+        raw_q = _range_boundaries(keyed_sample, "clip_id", n_out, rows_total)
         boundaries = sorted(set(raw_q))
     else:
         bounds = dimension_bounds(table)
         key_udf = curve_key_udf(bounds, curve)
-        keys_only = table.scan().select(*CLUSTER_DIMS).withColumn(
-            "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
-        )
-        if n_out > 1:
-            qs = [i / n_out for i in range(1, n_out)]
-            raw_q = keys_only.approxQuantile("_zval", qs, 0.001)
-            boundaries = sorted(set(int(b) for b in raw_q))
-        else:
-            raw_q = []
-            boundaries = []
+        keyed_sample = _sampled(
+            table.scan().select(*CLUSTER_DIMS), n_out, rows_total
+        ).withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
+        raw_q = _range_boundaries(keyed_sample, "_zval", n_out, rows_total)
+        boundaries = sorted(set(int(b) for b in raw_q))
 
-    # AUTO skew salting: duplicate quantile boundaries mean one curve
-    # value owns more than a bucket's worth of rows — range splitting
-    # cannot divide it, so that bucket (and its single write task)
-    # would absorb the whole hot key. Salt by the collapse factor: the
-    # hot bucket fans out over `salt` hash sub-buckets of clip_id,
+    # AUTO skew salting: collapsed boundaries mean one key value owns
+    # more than a bucket's worth of rows — range splitting cannot
+    # divide it, so that bucket (and its single write task) would
+    # absorb the whole hot key. Salt by the collapse factor: the hot
+    # bucket fans out over `salt` hash sub-buckets of clip_id,
     # restoring bounded task/file sizes at the cost of curve-order
     # granularity within the salted bucket.
     effective_salt = 0 if salt_buckets is None else salt_buckets
     if salt_buckets is None and n_out > 1:
-        collapsed = len(raw_q) - len(boundaries)
+        collapsed = (n_out - 1) - len(boundaries)
         if collapsed > max(1, n_out // 10):
-            effective_salt = max(2, -(-(len(raw_q) + 1) // (len(boundaries) + 1)))
+            effective_salt = max(2, -(-n_out // (len(boundaries) + 1)))
 
     # pass 2: the rewrite shuffle (internal columns — the per-row _crc —
     # must ride the rewrite so the clustered files keep their integrity
@@ -292,18 +374,27 @@ def cluster_incremental(
     added since the last cluster."""
     assert curve in ("zorder", "hilbert", "linear")
     base = table.current_snapshot()
-    last_cluster = next(
-        (
-            s
-            for s in reversed(table.lineage_chain())
-            if s["operation"] == "cluster"
-        ),
-        None,
-    )
-    if last_cluster is None:
+    # the marker (carried in every summary, expire-pinned) is the
+    # primary lookup — the chain walk is only a fallback for tables
+    # whose history predates the marker
+    last_cluster_id = None
+    if base is not None:
+        lc = base.summary.get("last_cluster_snapshot_id")
+        if lc is not None and lc in table.snapshot_ids():
+            last_cluster_id = lc
+    if last_cluster_id is None:
+        last_cluster_id = next(
+            (
+                s["snapshot_id"]
+                for s in reversed(table.lineage_chain())
+                if s["operation"] == "cluster"
+            ),
+            None,
+        )
+    if last_cluster_id is None:
         return cluster(table, curve=curve, target_bytes=target_bytes, job_id=job_id)
 
-    prev_live = set(table.live_files(table.snapshot(last_cluster["snapshot_id"])))
+    prev_live = set(table.live_files(table.snapshot(last_cluster_id)))
     entries = [
         e
         for e in table.manifest_entries(base).to_pylist()
@@ -315,32 +406,29 @@ def cluster_incremental(
     new_bytes = sum(e["byte_size"] for e in entries)
     n_out = max(1, -(-new_bytes // target_bytes))
 
-    # keys-only boundary pass over the NEW files only; normalization
-    # bounds still come from the full manifest (metadata-only) so curve
-    # keys stay comparable across generations
+    # sampled keys-only boundary pass over the NEW files only;
+    # normalization bounds still come from the full manifest
+    # (metadata-only) so curve keys stay comparable across generations
+    rows_total = sum(e["row_count"] for e in entries)
     paths = [f"{table.root}/{e['file_path']}" for e in entries]
     new_df = table._read_files(paths, base)
     if curve == "linear":
-        rows_total = sum(e["row_count"] for e in entries)
-        boundaries = sorted(set(_linear_boundaries(new_df, n_out, rows_total)))
+        sample = _sampled(new_df.select("clip_id"), n_out, rows_total)
+        boundaries = sorted(set(_range_boundaries(sample, "clip_id", n_out, rows_total)))
         df = new_df.withColumn(
             "_bucket", _bucket_expr(boundaries, "clip_id") if boundaries else F.lit(0)
         )
         sort_cols = ["_bucket", "clip_id"]
     else:
         key_udf = curve_key_udf(dimension_bounds(table), curve)
-        keyed = new_df.withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
-        if n_out > 1:
-            # approxQuantile on the keyed frame still prunes to the 4
-            # dim columns (the UDF projection is the only dependency)
-            qs = [i / n_out for i in range(1, n_out)]
-            raw_q = keyed.approxQuantile("_zval", qs, 0.001)
-            boundaries = sorted(set(int(b) for b in raw_q))
-        else:
-            boundaries = []
-        df = keyed.withColumn(
-            "_bucket", _bucket_expr(boundaries) if boundaries else F.lit(0)
+        sample = _sampled(new_df.select(*CLUSTER_DIMS), n_out, rows_total).withColumn(
+            "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
         )
+        raw_q = _range_boundaries(sample, "_zval", n_out, rows_total)
+        boundaries = sorted(set(int(b) for b in raw_q))
+        df = new_df.withColumn(
+            "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
+        ).withColumn("_bucket", _bucket_expr(boundaries) if boundaries else F.lit(0))
         sort_cols = ["_bucket", "_zval", "clip_id"]
 
     return _write_clustered(

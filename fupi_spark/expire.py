@@ -80,6 +80,14 @@ def expire_snapshots(
     now = time.time()
     ids = table.snapshot_ids()
     retained_ids = ids[-max(1, retain_last):]
+    # pin the last-cluster snapshot (marker carried forward by every
+    # commit, meta.Table.commit): expiring it would silently degrade
+    # the next cluster_incremental to a full-table recluster. It ages
+    # out naturally once a newer cluster commit moves the marker.
+    if ids:
+        lc = table.snapshot(ids[-1]).summary.get("last_cluster_snapshot_id")
+        if lc is not None and lc in ids:
+            retained_ids = sorted(set(retained_ids) | {lc})
     expired_ids = [i for i in ids if i not in retained_ids]
     retained = [table.snapshot(i) for i in retained_ids]
     committed_jobs = _committed_job_ids(table, ids)

@@ -559,6 +559,67 @@ def fupi_ingest_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_cluster_incremental",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT parse_filename(filename) AS file_name, clip_id,
+         clip_id >= COALESCE(
+           LAG(clip_id) OVER (PARTITION BY filename ORDER BY file_row_number),
+           clip_id) AS in_order
+  FROM read_parquet('{SCRATCH}/inc_cluster/data/*.parquet',
+                    filename=true, file_row_number=true)
+)
+SELECT file_name,
+       CAST(bool_and(clip_id LIKE 'churn_%') AS INT) AS churn_only,
+       CAST(bool_and(in_order) AS INT) AS sorted_ok
+FROM rows_
+GROUP BY file_name
+ORDER BY file_name
+""",
+)
+def lakehouse_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB maintenance cadence (VERDICT r3 #2): full cluster →
+    append churn → cluster_incremental → expire. The engine reports,
+    from snapshot lineage, which live files the incremental job wrote
+    (exactly the churn, never the clustered bulk) and claims every file
+    internally sorted; the oracle recomputes BOTH facts from the
+    engine's parquet bytes (churn rows are prefix-marked; in-file order
+    via LAG over file_row_number). The marker-based lookup also runs
+    through an expiry, proving the cadence survives retain_last
+    pruning. Reference anchor: Lance's incremental compact_files
+    version chain (/root/reference/fupi/embedders.py:127-128)."""
+    from . import meta as M
+    from .cluster import cluster, cluster_incremental
+    from .expire import expire_snapshots
+    from .synth import synth_clips
+
+    t = _fresh(spark, "inc_cluster", 800, parts=16)
+    cluster(t, curve="linear", target_bytes=1 << 18, job_id="q-full")
+    # expire between the cluster and the churn: the last-cluster marker
+    # must survive retain_last=1 for the incremental path to engage
+    expire_snapshots(t, retain_last=1)
+    pre = set(t.live_files())
+
+    churn = synth_clips(spark, 120, seed=9, dur_range_ms=(50, 150)).withColumn(
+        "clip_id", F.concat(F.lit("churn_"), F.col("clip_id"))
+    )
+    M.append(t, churn, job_id="q-churn", parts=3)
+    snap = cluster_incremental(t, curve="linear", target_bytes=1 << 17, job_id="q-inc")
+    assert snap.summary.get("mode") == "incremental", "expected O(churn) path"
+    inc_added = set(t.live_files()) - pre
+    assert inc_added, "incremental run must have rewritten the churn"
+    expire_snapshots(t, retain_last=1)
+
+    rows = [
+        (p.rsplit("/", 1)[-1], 1 if p in inc_added else 0, 1)
+        for p in sorted(t.live_files())
+    ]
+    return spark.createDataFrame(
+        rows, "file_name string, churn_only int, sorted_ok int"
+    )
+
+
+@register(
     "lakehouse_merge_prune_linear",
     oracle=f"""
 WITH keys AS (

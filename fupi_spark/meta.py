@@ -544,6 +544,20 @@ class Table:
             extra = dict(summary or {})
             if "schema_ops" not in extra and inherited_ops:
                 extra["schema_ops"] = inherited_ops
+            # last-cluster marker: carried forward by EVERY commit (like
+            # schema_ops) so it survives snapshot expiry — without it,
+            # expire's retain_last would routinely prune the cluster
+            # snapshot and cluster_incremental would silently degrade to
+            # a full-table recluster (losing its O(churn) guarantee).
+            # expire_snapshots pins the marked snapshot as retained.
+            if operation == "cluster":
+                extra["last_cluster_snapshot_id"] = next_id
+            else:
+                inherited_lc = (
+                    base.summary.get("last_cluster_snapshot_id") if base else None
+                )
+                if "last_cluster_snapshot_id" not in extra and inherited_lc is not None:
+                    extra["last_cluster_snapshot_id"] = inherited_lc
             snap = Snapshot(
                 snapshot_id=next_id,
                 parent_id=base.snapshot_id if base else None,

@@ -73,13 +73,17 @@ def cluster_order(
     """Expected global row order after a clustering rewrite: sort by
     (curve key, clip_id) — the engine's range-partition + in-partition
     sort must concatenate to exactly this."""
-    rank = bounds["codec_rank"]
+    import bisect
+
+    codecs = bounds.get("codec_ranks") or sorted(bounds["codec_rank"])
     keys = []
     for _, r in pdf.iterrows():
         d0 = norm_scalar(str_u64_scalar(r["clip_id"]), bounds["clip_id_lo"], bounds["clip_id_hi"])
         d1 = norm_scalar(r["sr_hz"], bounds["sr_lo"], bounds["sr_hi"])
         d2 = norm_scalar(r["dur_ms"], bounds["dur_lo"], bounds["dur_hi"])
-        d3 = norm_scalar(rank[r["codec"]], 0, bounds["codec_hi"])
+        # searchsorted rank — same semantics as cluster.codec_rank_array
+        rk = min(bisect.bisect_left(codecs, r["codec"]), max(len(codecs) - 1, 0))
+        d3 = norm_scalar(rk, 0, bounds["codec_hi"])
         if curve == "hilbert":
             keys.append(hilbert4_scalar([d0, d1, d2, d3]))
         else:
