@@ -83,11 +83,18 @@ def apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
 
 
 def _commit_op(table: Table, op: dict) -> Snapshot:
-    ops = table.schema_ops() + [op]
+    # plan against an explicit base and pass the prior ops as the
+    # commit's expectation: an evolve-vs-evolve race (the loser would
+    # otherwise silently overwrite the winner's op with its precomputed
+    # list) now raises CommitConflict and the caller re-plans.
+    base = table.current_snapshot()
+    prior = table.schema_ops(base)
     return table.commit(
         "evolve",
         _empty_manifest(table.stats_spec),
-        summary={"schema_ops": ops, "evolved": op},
+        base=base,
+        summary={"schema_ops": prior + [op], "evolved": op},
+        expected_schema_ops=prior,
     )
 
 

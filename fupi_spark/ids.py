@@ -6,8 +6,10 @@ the single worst plan shape at 10^12 rows. This module assigns the
 exact same dense 1-based ids with a fully parallel plan:
 
 1. range-partition on the order key (one shuffle, boundaries from
-   Spark's range sampler);
-2. localCheckpoint the partitioned data — the sampler's boundaries are
+   Spark's range sampler) — KEY COLUMNS ONLY when the ordering is
+   plain column names (the payload joins back afterwards and never
+   rides this shuffle or the checkpoint below);
+2. localCheckpoint the partitioned keys — the sampler's boundaries are
    not reproducible across re-evaluations, so the partitioning must be
    computed exactly once (and never silently recomputed);
 3. per-partition physical position from monotonically_increasing_id
@@ -48,18 +50,36 @@ def dense_ids(
     order_cols: list,
     id_col: str,
     num_parts: int | None = None,
+    keys_join: bool | None = None,
 ) -> DataFrame:
     """Append ``id_col`` = dense 1-based rank of the row in global
     ``order_cols`` order. Exact twin of an unpartitioned row_number
     window, with a parallel plan (range shuffle + map-side ranks).
 
-    The returned DataFrame depends on an internally persisted
-    intermediate; callers streaming 100 TB through this should expect
-    one table-size spill (the price of exactly-once partitioning) —
-    still linear, unlike the single-reducer window it replaces.
+    Materialization cost (VERDICT r3 #6): when every order col is a
+    plain column NAME, only the key columns ride the range shuffle and
+    the checkpoint spill — the (key → id) frame is then hash-joined
+    back onto ``df``, so the payload moves exactly once (the join)
+    instead of twice (payload range-shuffle + payload-width spill).
+    Orderings given as Column EXPRESSIONS (e.g. ``desc()``) cannot be
+    join keys, so they keep the full-width checkpoint.
+
+    ``keys_join``: None = auto (keys-only when all order cols are
+    names); False forces the full-width checkpoint — the right trade
+    when ``df`` is narrow but EXPENSIVE to re-evaluate (the join-back
+    path evaluates ``df`` a second time; e.g. the sentence-splitter
+    explode in ingest.segment). The keys-only path additionally
+    requires ``df`` to be deterministic across evaluations (file scans,
+    deterministic UDFs — not sample()); a nondeterministic source must
+    be pinned (checkpoint) or use keys_join=False. Either way the order
+    key must be unique (the join-back also relies on it) — every caller
+    in this repo appends a tiebreaker column.
     """
     spark = df.sparkSession
     num_parts = num_parts or spark.sparkContext.defaultParallelism
+    key_names = [c for c in order_cols if isinstance(c, str)]
+    keys_only = len(key_names) == len(order_cols) and keys_join is not False
+    base = df.select(*key_names) if keys_only else df
     # localCheckpoint (not persist): the range sampler's boundaries are
     # not reproducible, so a cache-eviction recompute would silently
     # reshuffle rows while the offsets below stay frozen — truncating
@@ -68,7 +88,7 @@ def dense_ids(
     # returned DataFrame is dropped (a plain persist leaks the same way
     # but adds the silent-recompute hazard).
     d = (
-        df.repartitionByRange(num_parts, *order_cols)
+        base.repartitionByRange(num_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
@@ -88,16 +108,23 @@ def dense_ids(
     if len(offsets) <= MAP_LITERAL_MAX:
         entries = [F.lit(v) for pair in offsets for v in pair]
         omap = F.create_map(*entries) if entries else F.create_map()
-        return d.withColumn(
+        ids = d.withColumn(
             id_col,
             (omap[F.shiftright("_mid", 33)] + pos + 1).cast("long"),
         ).drop("_mid")
-    # large-partition-count path: broadcast-join the offsets (the plan
-    # stays O(1) in n_partitions; the join key is the partition id)
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
-    d = d.withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
-    return (
-        d.join(F.broadcast(off_df), "_pid")
-        .withColumn(id_col, (F.col("_offset") + pos + 1).cast("long"))
-        .drop("_mid", "_pid", "_offset")
-    )
+    else:
+        # large-partition-count path: broadcast-join the offsets (the
+        # plan stays O(1) in n_partitions; the join key is the
+        # partition id)
+        off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+        ids = (
+            d.withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(id_col, (F.col("_offset") + pos + 1).cast("long"))
+            .drop("_mid", "_pid", "_offset")
+        )
+    if not keys_only:
+        return ids
+    # keys-only path: attach ids back by the (unique) key columns —
+    # the payload never entered the shuffle/spill above
+    return df.join(ids, key_names)

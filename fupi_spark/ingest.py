@@ -80,7 +80,11 @@ def scan_raw_docs(spark: SparkSession, path: str, num_samples: int = 0) -> DataF
     if num_samples > 0:
         df = df.limit(num_samples)
     # deterministic dense ids via the partition-offset scheme (no
-    # single-reducer window; ids.py)
+    # single-reducer window; ids.py). Keys-only path: only (date, title)
+    # ride the range shuffle + checkpoint; the text column joins back.
+    # Sound because this source is deterministic across evaluations —
+    # a file scan + filter, and limit() consumes partitions in scan
+    # order (no upstream shuffle/sample).
     from .ids import dense_ids
 
     return dense_ids(df, ["date", "title"], "text_id")
@@ -130,10 +134,16 @@ def segment(texts: DataFrame) -> DataFrame:
         "title",
         F.posexplode(split_sentences(F.col("text"))).alias("pos", "sentence"),
     )
-    # global running sentence_id, partition-offset scheme (the persist
-    # inside dense_ids also stops the range sampler from re-running the
-    # sentence-splitter UDF)
-    return dense_ids(sent, ["text_id", "pos"], "sentence_id").drop("pos")
+    # global running sentence_id, partition-offset scheme.
+    # keys_join=False: the exploded frame is NARROW (no audio payload)
+    # but expensive to re-evaluate (the splitter UDF); the full-width
+    # checkpoint evaluates the splitter exactly once, which beats the
+    # keys-only join's second evaluation here. The text-level dense_ids
+    # (ingest_corpus) takes the keys-only path instead — its source is
+    # a cheap deterministic file scan.
+    return dense_ids(
+        sent, ["text_id", "pos"], "sentence_id", keys_join=False
+    ).drop("pos")
 
 
 # ---------------------------------------------------------------------------
@@ -187,14 +197,27 @@ def _embed_batch(kind: str, handle, batch: pd.Series, dim: int) -> list[list[flo
         n = len(tok)
         width = max(len(r) for r in tok)
         ids = np.zeros((n, width), dtype=np.int64)
-        mask = np.zeros((n, width), dtype=np.float32)
+        mask = np.zeros((n, width), dtype=np.int64)
         for i, r in enumerate(tok):
             ids[i, : len(r)] = r
-            mask[i, : len(r)] = 1.0
-        hidden = handle.run(None, {"input_ids": ids})[0]
+            mask[i, : len(r)] = 1
+        # feed EVERY tokenizer output the model declares — transformer
+        # ONNX graphs take (input_ids, attention_mask) and an id-only
+        # feed either errors or silently attends to padding (reference
+        # passes the full tokenizer dict, fupi/embedders.py:78-84).
+        # Filter by the session's declared input names so models without
+        # a mask input still run.
+        feed = {"input_ids": ids, "attention_mask": mask}
+        try:
+            declared = {i.name for i in handle.get_inputs()}
+            feed = {k: v for k, v in feed.items() if k in declared} or feed
+        except AttributeError:
+            pass  # mock/minimal sessions without get_inputs
+        hidden = handle.run(None, feed)[0]
         # masked mean-pool over real tokens (padding excluded)
-        summed = (hidden * mask[:, :, None]).sum(axis=1)
-        pooled = summed / np.maximum(mask.sum(axis=1), 1.0)[:, None]
+        fmask = mask.astype(np.float32)
+        summed = (hidden * fmask[:, :, None]).sum(axis=1)
+        pooled = summed / np.maximum(fmask.sum(axis=1), 1.0)[:, None]
         return pooled[:, :dim].astype(np.float32).tolist()
     return _embed_tokens(batch, handle)
 

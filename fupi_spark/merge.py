@@ -75,7 +75,9 @@ from .meta import Snapshot, Table
 MERGE_KEY = "clip_id"
 
 
-def plan_touched_files(table: Table, source: DataFrame, base: Snapshot) -> list[dict]:
+def plan_touched_files(
+    table: Table, source: DataFrame, base: Snapshot, key: str = MERGE_KEY
+) -> list[dict]:
     """File pruning by key-range stats: a file is touched iff some
     source key falls inside its [min, max] key range.
 
@@ -83,12 +85,19 @@ def plan_touched_files(table: Table, source: DataFrame, base: Snapshot) -> list[
     sorted file-min boundaries (driver-small by design), assign each
     source key its bin with one vectorized searchsorted, explode each
     file into the bins its range covers, equi-join on bin with a
-    residual range filter."""
+    residual range filter.
+
+    Composite merge keys prune on their LEADING column only — sound
+    (a superset of the truly touched files) and exactly what a
+    leading-key-clustered layout rewards; a key without manifest stats
+    disables pruning (all files touched, still correct)."""
     entries = table.manifest_entries(base).to_pylist()
     entries = [e for e in entries if e["row_count"] != 0]
     if not entries:
         return []
-    lo_k, hi_k = f"min_{MERGE_KEY}", f"max_{MERGE_KEY}"
+    if key not in table.stats_cols:
+        return entries  # no stats for this key → no pruning possible
+    lo_k, hi_k = f"min_{key}", f"max_{key}"
     # NULL stats → unbounded range → always touched
     unbounded = [e for e in entries if e[lo_k] is None or e[hi_k] is None]
     bounded = [e for e in entries if e[lo_k] is not None and e[hi_k] is not None]
@@ -106,8 +115,10 @@ def plan_touched_files(table: Table, source: DataFrame, base: Snapshot) -> list[
         for b in range(max(b_lo, 0), b_hi + 1):
             file_bins.append((b, ord_, e[lo_k], e[hi_k]))
     spark = table.spark
+    # schema inferred so the key's min/max type follows the key column
+    # (string clip_id or an int key alike)
     files_df = spark.createDataFrame(
-        file_bins, "bin int, file_ord int, f_min string, f_max string"
+        file_bins, ["bin", "file_ord", "f_min", "f_max"]
     )
 
     @F.pandas_udf(T.IntegerType())
@@ -118,7 +129,7 @@ def plan_touched_files(table: Table, source: DataFrame, base: Snapshot) -> list[
                 np.searchsorted(b, s.to_numpy(dtype=object), side="right") - 1
             ).astype("int32")
 
-    keys = source.select(F.col(MERGE_KEY).alias("_k")).distinct()
+    keys = source.select(F.col(key).alias("_k")).distinct()
     touched_ords = (
         keys.withColumn("bin", key_bin(F.col("_k")))
         .join(F.broadcast(files_df), "bin")
@@ -143,6 +154,7 @@ def merge_into(
     broadcast_max_bytes: int = 256 << 20,
     matched_clauses: list[tuple[str | None, str]] | None = None,
     not_matched_condition: str | None = None,
+    keys: list[str] | None = None,
 ) -> Snapshot:
     """Upsert / delete-on-match ``source`` into the table, CoW-style.
 
@@ -151,10 +163,16 @@ def merge_into(
     — the full multi-clause WHEN MATCHED surface; overrides the
     single-clause (when_matched, matched_condition) sugar.
     ``not_matched_condition``: WHEN NOT MATCHED AND <cond> THEN INSERT.
+    ``keys``: merge ON columns (default ["clip_id"]). Composite keys
+    (e.g. ["text_id", "sentence_id"] on the sentence-level table) join
+    on all columns; file pruning uses the leading key's range stats;
+    key columns must be non-null (SQL MERGE ON semantics).
     """
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
     assert not_matched_by_source in (None, "delete")
+    keys = list(keys or [MERGE_KEY])
+    assert keys, "merge needs at least one key column"
     spark = table.spark
     base = table.current_snapshot()
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
@@ -182,12 +200,12 @@ def merge_into(
     )
     v = source.agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct(MERGE_KEY).alias("d"),
+        F.countDistinct(*keys).alias("d"),
         size_agg.alias("payload_bytes"),
     ).collect()[0]
     if v["n"] != v["d"]:
         raise ValueError(
-            f"merge source has duplicate {MERGE_KEY} values "
+            f"merge source has duplicate {keys} values "
             f"({v['n']} rows, {v['d']} distinct keys)"
         )
     src_rows = v["n"]
@@ -203,7 +221,7 @@ def merge_into(
             if e["row_count"] != 0
         ]
     else:
-        touched = plan_touched_files(table, source, base)
+        touched = plan_touched_files(table, source, base, key=keys[0])
     touched_paths = [e["file_path"] for e in touched]
 
     if touched_paths:
@@ -245,13 +263,21 @@ def merge_into(
     if default_upsert:
         n_matched = n_inserts = n_carries = None  # derived post-write
     else:
-        tk = target.select(F.col(MERGE_KEY).alias("_tk"))
-        sk = source.select(F.col(MERGE_KEY).alias("_sk"))
-        cls = tk.join(sk, tk["_tk"] == sk["_sk"], "full_outer")
+        tk = target.select(
+            *[F.col(k).alias(f"_tk_{i}") for i, k in enumerate(keys)]
+        )
+        sk = source.select(
+            *[F.col(k).alias(f"_sk_{i}") for i, k in enumerate(keys)]
+        )
+        cond = None
+        for i in range(len(keys)):
+            c_ = tk[f"_tk_{i}"] == sk[f"_sk_{i}"]
+            cond = c_ if cond is None else (cond & c_)
+        cls = tk.join(sk, cond, "full_outer")
         c = cls.agg(
-            F.sum(F.when(F.col("_tk").isNotNull() & F.col("_sk").isNotNull(), 1).otherwise(0)).alias("matched"),
-            F.sum(F.when(F.col("_tk").isNull(), 1).otherwise(0)).alias("inserts"),
-            F.sum(F.when(F.col("_sk").isNull(), 1).otherwise(0)).alias("carries"),
+            F.sum(F.when(F.col("_tk_0").isNotNull() & F.col("_sk_0").isNotNull(), 1).otherwise(0)).alias("matched"),
+            F.sum(F.when(F.col("_tk_0").isNull(), 1).otherwise(0)).alias("inserts"),
+            F.sum(F.when(F.col("_sk_0").isNull(), 1).otherwise(0)).alias("carries"),
         ).collect()[0]
         n_matched = int(c["matched"] or 0)
         n_inserts = int(c["inserts"] or 0)
@@ -265,7 +291,8 @@ def merge_into(
     # either gate, fall through to AQE's shuffle join (keys + payload
     # shuffle once — the correct plan at that size).
     srcj = source.select(
-        F.col(MERGE_KEY).alias("_sk"), F.struct(*data_cols).alias("_src")
+        *[F.col(k).alias(f"_sk_{i}") for i, k in enumerate(keys)],
+        F.struct(*data_cols).alias("_src"),
     )
     if src_rows <= broadcast_max_rows and src_bytes <= broadcast_max_bytes:
         srcj = F.broadcast(srcj)
@@ -279,9 +306,13 @@ def merge_into(
     clauses = matched_clauses or [(matched_condition, when_matched)]
     for _cond, _act in clauses:
         assert _act in ("update", "delete"), f"bad matched action {_act!r}"
-    is_m = F.col("_sk").isNotNull()
+    is_m = F.col("_sk_0").isNotNull()
 
-    j = target.join(srcj, target[MERGE_KEY] == F.col("_sk"), "left")
+    jcond = None
+    for i, k in enumerate(keys):
+        c_ = target[k] == F.col(f"_sk_{i}")
+        jcond = c_ if jcond is None else (jcond & c_)
+    j = target.join(srcj, jcond, "left")
     act_col = None
     for cond, act in clauses:
         c = is_m if cond is None else (is_m & F.expr(cond))
@@ -304,7 +335,7 @@ def merge_into(
 
     if when_not_matched == "insert":
         inserts = source.join(
-            target.select(MERGE_KEY), MERGE_KEY, "left_anti"
+            target.select(*keys), keys, "left_anti"
         )
         if not_matched_condition is not None:
             # WHEN NOT MATCHED AND <cond> THEN INSERT (condition over
@@ -316,7 +347,7 @@ def merge_into(
 
     log = LineageLog(table, job_id)  # marks the job active before any write
     try:
-        added = table.write_datafiles(result, job_id, sort_within=[MERGE_KEY])
+        added = table.write_datafiles(result, job_id, sort_within=keys)
     finally:
         _persisted_source.unpersist()
 
@@ -344,6 +375,7 @@ def merge_into(
         base=base,
         summary={
             "job_id": job_id,
+            "keys": keys,
             "when_matched": when_matched,
             "when_not_matched": when_not_matched,
             "not_matched_by_source": not_matched_by_source,

@@ -503,6 +503,7 @@ class Table:
         summary: dict | None = None,
         input_paths: set[str] | None = None,
         max_retries: int = 20,
+        expected_schema_ops: list[dict] | None = None,
     ) -> Snapshot:
         """Optimistic snapshot commit with rebase-on-race.
 
@@ -510,6 +511,12 @@ class Table:
         ``input_paths``: files whose *content* the op depends on
         (defaults to removed_paths) — if a concurrent commit removed any
         of them, the op's output is stale → CommitConflict.
+        ``expected_schema_ops``: the schema_ops list this commit's
+        summary was PLANNED against (evolve.py sets it) — a rebase onto
+        a base whose schema_ops changed means a concurrent evolution
+        won; silently committing the precomputed list would overwrite
+        the winner's op (a lost update the file validation cannot see),
+        so it raises CommitConflict instead.
         """
         removed_paths = removed_paths or set()
         input_paths = input_paths if input_paths is not None else set(removed_paths)
@@ -527,6 +534,13 @@ class Table:
                     raise CommitConflict(
                         f"{operation}: concurrent commit removed input files "
                         f"{sorted(input_paths - cur_files)[:3]}..."
+                    )
+                if expected_schema_ops is not None and (
+                    (current.summary.get("schema_ops") or []) != expected_schema_ops
+                ):
+                    raise CommitConflict(
+                        f"{operation}: concurrent schema evolution — "
+                        "replan against the current snapshot"
                     )
                 base = current
             live = self.manifest_entries(base) if base else _empty_manifest(self.stats_spec)

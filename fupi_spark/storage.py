@@ -221,15 +221,38 @@ class S3Storage(Storage):
     def put(self, rel: str, data: bytes) -> None:
         self.client.put_object(Bucket=self.bucket, Key=self._key(rel), Body=data)
 
+    @staticmethod
+    def _err_info(e) -> tuple[int | None, str]:
+        resp = getattr(e, "response", None) or {}
+        status = resp.get("ResponseMetadata", {}).get("HTTPStatusCode")
+        code = resp.get("Error", {}).get("Code", "")
+        return status, code
+
+    @classmethod
+    def _is_missing(cls, e) -> bool:
+        """True ONLY for a definitive not-found — a transient 403/500/
+        throttle must NOT read as 'object missing' (expire/GC built on
+        exists/mtime would misclassify live objects as absent)."""
+        status, code = cls._err_info(e)
+        return status == 404 or code in ("404", "NoSuchKey", "NotFound")
+
     def put_if_absent(self, rel: str, data: bytes) -> bool:
         try:
             self.client.put_object(
                 Bucket=self.bucket, Key=self._key(rel), Body=data, IfNoneMatch="*"
             )
             return True
-        except self.client.exceptions.ClientError as e:  # pragma: no cover
-            code = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
-            if code in (409, 412):
+        except self.client.exceptions.ClientError as e:
+            # a LOST CLAIM is only a conditional-write conflict: S3
+            # proper returns 412 PreconditionFailed; some
+            # implementations return 409 ConditionalRequestConflict
+            # during concurrent conditional writes. Anything else
+            # (throttle, 5xx, auth) must surface, not read as 'lost'.
+            status, code = self._err_info(e)
+            if status in (409, 412) or code in (
+                "PreconditionFailed",
+                "ConditionalRequestConflict",
+            ):
                 return False
             raise
 
@@ -245,14 +268,18 @@ class S3Storage(Storage):
         try:
             self._head(rel)
             return True
-        except self.client.exceptions.ClientError:
-            return False
+        except self.client.exceptions.ClientError as e:
+            if self._is_missing(e):
+                return False
+            raise  # transient 403/500/throttle is NOT 'missing'
 
     def mtime(self, rel: str) -> float:
         try:
             return self._head(rel)["LastModified"].timestamp()
-        except self.client.exceptions.ClientError:
-            raise FileNotFoundError(rel)
+        except self.client.exceptions.ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(rel)
+            raise
 
     def size(self, rel: str) -> int:
         return int(self._head(rel)["ContentLength"])

@@ -134,11 +134,26 @@ def test_onnx_path_runs_one_call_per_batch():
     calls = {"n": 0}
     DIM = 8
 
+    class _Inp:
+        def __init__(self, name):
+            self.name = name
+
     class MockSession:
+        def get_inputs(self):
+            return [_Inp("input_ids"), _Inp("attention_mask")]
+
         def run(self, outputs, feeds):
             calls["n"] += 1
-            ids = feeds["input_ids"]
+            # the feed must carry every tokenizer output the model
+            # declares (reference passes the full tokenizer dict)
+            assert set(feeds) == {"input_ids", "attention_mask"}
+            ids, mask = feeds["input_ids"], feeds["attention_mask"]
             assert ids.ndim == 2 and ids.shape[0] == 5  # whole batch, padded
+            assert mask.shape == ids.shape
+            # mask marks exactly the real tokens: row lengths 3,1,1,2,4
+            # (empty text tokenizes to the single fallback token [0])
+            assert mask.sum(axis=1).tolist() == [3, 1, 1, 2, 4]
+            assert set(np.unique(mask)) <= {0, 1}
             # deterministic fake hidden state: (n, seq, hidden)
             rng = np.random.default_rng(1)
             return [rng.standard_normal((ids.shape[0], ids.shape[1], DIM))]
@@ -150,6 +165,33 @@ def test_onnx_path_runs_one_call_per_batch():
     # a second batch -> a second call (per-batch, not cached-forever)
     _embed_batch("onnx", MockSession(), batch, DIM)
     assert calls["n"] == 2
+
+
+def test_onnx_feed_filtered_to_declared_inputs():
+    """A model declaring only input_ids must not receive the mask (the
+    feed filters to the session's declared input names)."""
+    import numpy as np
+    import pandas as pd
+
+    from fupi_spark.ingest import _embed_batch
+
+    DIM = 4
+
+    class _Inp:
+        def __init__(self, name):
+            self.name = name
+
+    class IdsOnlySession:
+        def get_inputs(self):
+            return [_Inp("input_ids")]
+
+        def run(self, outputs, feeds):
+            assert set(feeds) == {"input_ids"}
+            ids = feeds["input_ids"]
+            return [np.zeros((ids.shape[0], ids.shape[1], DIM))]
+
+    out = _embed_batch("onnx", IdsOnlySession(), pd.Series(["a b", "c"]), DIM)
+    assert len(out) == 2
 
 
 def test_onnx_masked_pool_ignores_padding():

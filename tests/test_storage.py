@@ -70,7 +70,10 @@ def test_full_maintenance_cycle_without_rename(spark, tmp_table_dir, monkeypatch
     finally:
         monkeypatch.setattr(os, "rename", real_rename)
 
-    assert [s["operation"] for s in t.lineage_chain()] == ["merge"]
+    # retain_last=1 keeps the head merge; the cluster snapshot is
+    # additionally pinned by the last-cluster marker (expire.py) so
+    # cluster_incremental keeps its O(churn) cadence
+    assert [s["operation"] for s in t.lineage_chain()] == ["cluster", "merge"]
     rows = t.scan()
     assert rows.count() == 200
     assert rows.filter(F.col("transcript").like("% v2")).count() == 20
@@ -247,6 +250,85 @@ def test_s3_storage_guarded_seam(tmp_path):
     assert st.put_if_absent("metadata/v1.json", b"second") is False
     assert st.read("metadata/v1.json") == b"first"
     assert st._key("data/x.parquet") == "tables/t1/data/x.parquet"
+
+
+def _client_err(status=None, code=""):
+    """Build a botocore-shaped ClientError stand-in."""
+
+    class _E(Exception):
+        def __init__(self):
+            super().__init__()
+            self.response = {
+                "ResponseMetadata": {"HTTPStatusCode": status},
+                "Error": {"Code": code},
+            }
+
+    return _E
+
+
+def test_s3_error_classification(tmp_path):
+    """Conditional-PUT conflicts (412 PreconditionFailed on S3 proper,
+    409 ConditionalRequestConflict on some implementations) read as a
+    lost claim; transient 403/500/throttle must RAISE — and exists/
+    mtime must treat only a definitive 404/NoSuchKey as missing
+    (ADVICE: a throttled HEAD misread as 'object missing' would let
+    GC delete live objects)."""
+    import pytest
+
+    from fupi_spark.storage import S3Storage
+
+    class _Stub:
+        class exceptions:
+            ClientError = Exception  # superclass of all our stand-ins
+
+        def __init__(self):
+            self.put_exc = None
+            self.head_exc = None
+
+        def put_object(self, Bucket, Key, Body, **kw):
+            if self.put_exc is not None:
+                raise self.put_exc()
+
+        def head_object(self, Bucket, Key):
+            if self.head_exc is not None:
+                raise self.head_exc()
+            import datetime
+
+            return {
+                "LastModified": datetime.datetime.now(datetime.timezone.utc),
+                "ContentLength": 3,
+            }
+
+    c = _Stub()
+    st = S3Storage("bucket", "p", client=c)
+
+    # both conflict shapes → lost claim (False), no raise
+    c.put_exc = _client_err(412, "PreconditionFailed")
+    assert st.put_if_absent("k", b"x") is False
+    c.put_exc = _client_err(409, "ConditionalRequestConflict")
+    assert st.put_if_absent("k", b"x") is False
+    # code-only conflict (some SDK paths omit the status)
+    c.put_exc = _client_err(None, "PreconditionFailed")
+    assert st.put_if_absent("k", b"x") is False
+    # throttle / server error → surfaces
+    c.put_exc = _client_err(503, "SlowDown")
+    with pytest.raises(Exception):
+        st.put_if_absent("k", b"x")
+
+    # exists/mtime: definitive 404 → missing; transient → raises
+    c.head_exc = _client_err(404, "NotFound")
+    assert st.exists("k") is False
+    with pytest.raises(FileNotFoundError):
+        st.mtime("k")
+    c.head_exc = _client_err(403, "AccessDenied")
+    with pytest.raises(Exception) as ei:
+        st.exists("k")
+    assert not isinstance(ei.value, FileNotFoundError)
+    c.head_exc = _client_err(500, "InternalError")
+    with pytest.raises(Exception):
+        st.mtime("k")
+    c.head_exc = None
+    assert st.exists("k") is True
 
 
 @pytest.mark.skipif(
