@@ -51,6 +51,15 @@ SCALING_REPORT = {
         "run_B_20k_stage_min_composite": {"t_2": 112.1, "t_8": 53.7, "eff": 0.522},
         "run_A_20k_noisy_min_per_level": {"t_2": 74.7, "t_8": 45.0, "eff": 0.415},
         "run_C_80k_4x_workload_min": {"t_2": 304.8, "t_8": 138.9, "eff": 0.548},
+        "run_D_20k_r4_engine_min": {"t_2": 81.9, "t_8": 45.9, "eff": 0.446},
+        "run_D_20k_r4_median_pair_ratio": {"eff": 0.685},
+        "run_D_20k_r4_stage_min_composite": {"t_2": 81.1, "t_8": 41.0, "eff": 0.494},
+        "run_D_note": (
+            "r4 engine, 3 interleaved reps: local[8] rock-stable "
+            "(45.9/48.9/47.2 s) while local[2] swung 2.4x (81.9-195.2 s "
+            "host bursts); local[2] minimum improved 128.7->81.9 s over "
+            "the r3 engine, so the non-scaling share grew again (Amdahl)"
+        ),
     },
     "per_stage_compute_efficiency": {
         "ingest_synth": 0.82,

@@ -287,6 +287,10 @@ class Table:
             df = apply_schema_ops(df, ops)
         return df
 
+    #: manifest sizes above this run the file-skip decision as a
+    #: distributed filter over manifest_df instead of a driver loop
+    PRUNE_DRIVER_MAX = 100_000
+
     def scan_pruned(
         self, col: str, lo, hi, snapshot_id: int | None = None
     ) -> tuple[DataFrame, int, int]:
@@ -296,26 +300,48 @@ class Table:
         files_total). The residual row filter still reaches the parquet
         reader (row-group pruning), so skipping composes with pushdown.
 
-        Scale note: at 10^12 rows the skip decision is a filter over
-        manifest *entries*; do it with manifest_df() joins when entry
-        counts outgrow the driver (same predicate, distributed)."""
+        Two-path skip decision (same design as expire's anti-join):
+        small manifests filter on the driver (zero Spark jobs); past
+        PRUNE_DRIVER_MAX entries the same predicate runs as a
+        distributed filter over manifest_df — only the SURVIVING file
+        paths reach the driver, which on a clustered table is
+        O(selectivity), not O(files)."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
-        entries = self.manifest_entries(snap).to_pylist()
+        total = (snap.summary or {}).get("total_files") if snap else None
         # NULL stats (column absent at write time) are unbounded — the
         # file can never be skipped on that column.
-        keep = [
-            e
-            for e in entries
-            if e[f"max_{col}"] is None
-            or e[f"min_{col}"] is None
-            or not (e[f"max_{col}"] < lo or e[f"min_{col}"] > hi)
-        ]
-        if not keep:
+        if total is not None and total > self.PRUNE_DRIVER_MAX:
+            mdf = self.manifest_df(snap)
+            keep_paths = [
+                r["file_path"]
+                for r in mdf.filter(
+                    F.col(f"max_{col}").isNull()
+                    | F.col(f"min_{col}").isNull()
+                    | ~(
+                        (F.col(f"max_{col}") < F.lit(lo))
+                        | (F.col(f"min_{col}") > F.lit(hi))
+                    )
+                )
+                .select("file_path")
+                .collect()
+            ]
+            files_total = total
+        else:
+            entries = self.manifest_entries(snap).to_pylist()
+            keep_paths = [
+                e["file_path"]
+                for e in entries
+                if e[f"max_{col}"] is None
+                or e[f"min_{col}"] is None
+                or not (e[f"max_{col}"] < lo or e[f"min_{col}"] > hi)
+            ]
+            files_total = len(entries)
+        if not keep_paths:
             df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
-            return df, 0, len(entries)
-        df = self._read_files([f"{self.root}/{e['file_path']}" for e in keep], snap)
+            return df, 0, files_total
+        df = self._read_files([f"{self.root}/{p}" for p in keep_paths], snap)
         df = self._drop_internal(df).filter((F.col(col) >= lo) & (F.col(col) <= hi))
-        return df, len(keep), len(entries)
+        return df, len(keep_paths), files_total
 
     def incremental_scan(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -354,22 +380,48 @@ class Table:
         range for ``col`` contains at least one of ``values`` (the
         probe-set analogue of scan_pruned; used by LSH bucket probes).
         The residual isin filter is pushed to the parquet reader, so
-        row-group pruning composes with the manifest skip."""
+        row-group pruning composes with the manifest skip.
+
+        Same two-path decision as scan_pruned: past PRUNE_DRIVER_MAX
+        manifest entries the probe runs as a broadcast left-semi range
+        join of the values onto manifest_df."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
-        entries = self.manifest_entries(snap).to_pylist()
-        keep = [
-            e
-            for e in entries
-            if e[f"min_{col}"] is None
-            or e[f"max_{col}"] is None
-            or any(e[f"min_{col}"] <= v <= e[f"max_{col}"] for v in values)
-        ]
-        if not keep:
+        total = (snap.summary or {}).get("total_files") if snap else None
+        if total is not None and total > self.PRUNE_DRIVER_MAX and values:
+            vdf = self.spark.createDataFrame([(v,) for v in values], ["_v"])
+            keep_paths = [
+                r["file_path"]
+                for r in self.manifest_df(snap)
+                .join(
+                    F.broadcast(vdf),
+                    F.col(f"min_{col}").isNull()
+                    | F.col(f"max_{col}").isNull()
+                    | (
+                        (F.col("_v") >= F.col(f"min_{col}"))
+                        & (F.col("_v") <= F.col(f"max_{col}"))
+                    ),
+                    "left_semi",
+                )
+                .select("file_path")
+                .collect()
+            ]
+            files_total = total
+        else:
+            entries = self.manifest_entries(snap).to_pylist()
+            keep_paths = [
+                e["file_path"]
+                for e in entries
+                if e[f"min_{col}"] is None
+                or e[f"max_{col}"] is None
+                or any(e[f"min_{col}"] <= v <= e[f"max_{col}"] for v in values)
+            ]
+            files_total = len(entries)
+        if not keep_paths:
             df = self.spark.createDataFrame([], self.scan(snapshot_id).schema)
-            return df, 0, len(entries)
-        df = self._read_files([f"{self.root}/{e['file_path']}" for e in keep], snap)
+            return df, 0, files_total
+        df = self._read_files([f"{self.root}/{p}" for p in keep_paths], snap)
         df = self._drop_internal(df)
-        return df.filter(F.col(col).isin(list(values))), len(keep), len(entries)
+        return df.filter(F.col(col).isin(list(values))), len(keep_paths), files_total
 
     def scan_in_manifest_order(self, snapshot_id: int | None = None) -> DataFrame:
         """Scan with a per-file ordinal so tests can reconstruct the
