@@ -816,3 +816,87 @@ def events_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_bucket", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup dedup (task brief: the last dedup modality —
+# exact/minhash/simhash/jaccard exist above; this one works in embedding
+# space, the modality that catches paraphrases no lexical method can)
+# ---------------------------------------------------------------------------
+
+_COS_DIM = 64
+_COS_TAU = "CAST(0.3 AS DOUBLE)"
+_COS_BLOCK_BITS = 4  # sign-plane blocking on the first 4 coordinates
+
+
+def _arr_el(col: str, i: int, dialect: str) -> str:
+    if dialect == "spark":
+        return f"CAST(element_at({col}, {i}) AS DOUBLE)"
+    return f"CAST({col}[{i}] AS DOUBLE)"
+
+
+def _dot_sql_pair(ca: str, cb: str, dialect: str) -> str:
+    """Left-associative dot product text — identical arithmetic
+    structure in both dialects, so both engines produce bitwise-equal
+    doubles (queries.py float-hygiene rule)."""
+    return " + ".join(
+        f"({_arr_el(ca, i, dialect)} * {_arr_el(cb, i, dialect)})"
+        for i in range(1, _COS_DIM + 1)
+    )
+
+
+def _blk_sql(col: str, dialect: str) -> str:
+    """Sign-plane block id from the first _COS_BLOCK_BITS coordinates —
+    coordinate-plane LSH. The deliberate trade of the scale path:
+    candidates ∝ in-block collisions (never O(n^2)); recall is tunable
+    by bit count, and production recall comes from ann.py's multi-probe
+    banded index instead of more bits here."""
+    return " + ".join(
+        f"(CASE WHEN {_arr_el(col, i, dialect)} >= CAST(0 AS DOUBLE) "
+        f"THEN {1 << (_COS_BLOCK_BITS - i)} ELSE 0 END)"
+        for i in range(1, _COS_BLOCK_BITS + 1)
+    )
+
+
+def _cos_cond(ca: str, cb: str, dialect: str) -> str:
+    dot = _dot_sql_pair(ca, cb, dialect)
+    sqa = _dot_sql_pair(ca, ca, dialect)
+    sqb = _dot_sql_pair(cb, cb, dialect)
+    return f"(({dot}) / (SQRT({sqa}) * SQRT({sqb}))) >= {_COS_TAU}"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_blk_sql('embedding', 'duck')} AS blk
+  FROM embeddings
+)
+SELECT DISTINCT a.vec_id AS vec_id
+FROM e a JOIN e b ON a.blk = b.blk AND b.vec_id < a.vec_id
+WHERE {_cos_cond('a.embedding', 'b.embedding', 'duck')}
+ORDER BY vec_id
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: block vectors by sign-plane LSH, then
+    drop every vector with an EARLIER in-block neighbor at cosine >=
+    0.3 (greedy keep-first by vec_id — deterministic, order-free). The
+    plan is an equi-join on the block id + a codegen cosine filter: no
+    Python in the hot path, candidates proportional to collisions.
+    At 10^12 rows the same shape runs over ann.py's stored banded LSH
+    index (more planes, multi-probe) with AQE skew-splitting the hot
+    buckets; the cosine expression is shared TEXT with the DuckDB
+    oracle, so both engines compute bitwise-equal doubles."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.selectExpr("vec_id", "embedding", f"{_blk_sql('embedding', 'spark')} AS blk")
+    a = e.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("ea"), "blk")
+    b = e.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("eb"), "blk")
+    dropped = (
+        a.join(b, "blk")
+        .where(F.col("bid") < F.col("aid"))
+        .where(F.expr(_cos_cond("ea", "eb", "spark")))
+        .select(F.col("aid").alias("vec_id"))
+        .distinct()
+    )
+    return dropped.orderBy("vec_id")
