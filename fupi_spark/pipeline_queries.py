@@ -858,23 +858,25 @@ def _blk_sql(col: str, dialect: str) -> str:
     )
 
 
-def _cos_cond(ca: str, cb: str, dialect: str) -> str:
+def _cos_cond(ca: str, cb: str, na: str, nb: str, dialect: str) -> str:
+    """Cosine threshold over a per-pair dot and PER-VECTOR precomputed
+    norms — the norms cost 64 FLOPs per vector once instead of 128 per
+    candidate pair (at 10^12 rows the pair count dominates)."""
     dot = _dot_sql_pair(ca, cb, dialect)
-    sqa = _dot_sql_pair(ca, ca, dialect)
-    sqb = _dot_sql_pair(cb, cb, dialect)
-    return f"(({dot}) / (SQRT({sqa}) * SQRT({sqb}))) >= {_COS_TAU}"
+    return f"(({dot}) / ({na} * {nb})) >= {_COS_TAU}"
 
 
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, embedding, {_blk_sql('embedding', 'duck')} AS blk
+  SELECT vec_id, embedding, {_blk_sql('embedding', 'duck')} AS blk,
+         SQRT({_dot_sql_pair('embedding', 'embedding', 'duck')}) AS nrm
   FROM embeddings
 )
 SELECT DISTINCT a.vec_id AS vec_id
 FROM e a JOIN e b ON a.blk = b.blk AND b.vec_id < a.vec_id
-WHERE {_cos_cond('a.embedding', 'b.embedding', 'duck')}
+WHERE {_cos_cond('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm', 'duck')}
 ORDER BY vec_id
 """,
 )
@@ -882,21 +884,130 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: block vectors by sign-plane LSH, then
     drop every vector with an EARLIER in-block neighbor at cosine >=
     0.3 (greedy keep-first by vec_id — deterministic, order-free). The
-    plan is an equi-join on the block id + a codegen cosine filter: no
-    Python in the hot path, candidates proportional to collisions.
+    plan is an equi-join on the block id + a codegen cosine filter with
+    per-vector precomputed norms: no Python in the hot path, candidates
+    proportional to collisions, pair cost = one dot product.
     At 10^12 rows the same shape runs over ann.py's stored banded LSH
     index (more planes, multi-probe) with AQE skew-splitting the hot
-    buckets; the cosine expression is shared TEXT with the DuckDB
+    buckets; every float expression is shared TEXT with the DuckDB
     oracle, so both engines compute bitwise-equal doubles."""
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.selectExpr("vec_id", "embedding", f"{_blk_sql('embedding', 'spark')} AS blk")
-    a = e.select(F.col("vec_id").alias("aid"), F.col("embedding").alias("ea"), "blk")
-    b = e.select(F.col("vec_id").alias("bid"), F.col("embedding").alias("eb"), "blk")
+    e = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"{_blk_sql('embedding', 'spark')} AS blk",
+        f"SQRT({_dot_sql_pair('embedding', 'embedding', 'spark')}) AS nrm",
+    )
+    a = e.select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("ea"),
+        "blk", F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("eb"),
+        "blk", F.col("nrm").alias("nb"),
+    )
     dropped = (
         a.join(b, "blk")
         .where(F.col("bid") < F.col("aid"))
-        .where(F.expr(_cos_cond("ea", "eb", "spark")))
+        .where(F.expr(_cos_cond("ea", "eb", "na", "nb", "spark")))
         .select(F.col("aid").alias("vec_id"))
         .distinct()
     )
     return dropped.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (task brief: "an IVF or LSH-bucketed variant as the scale
+# path" — the LSH variant lives above; this is the inverted-file shape:
+# coarse cells + probe-nearest-cells + exact rerank within)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_IVF_K = 4
+#: analytic coarse centroids (data-independent, like QUERY_VEC): the
+#: IVF *structure* — cell assignment, cell-pruned probe, exact rerank —
+#: is what the entry checks; production centroids come from a k-means
+#: job whose output is just these literals
+_IVF_CENTROIDS = [
+    [round(_math.sin(0.7 * d + 1.3 * (j + 1)), 6) for d in range(64)]
+    for j in range(_IVF_K)
+]
+
+
+def _ivf_cell_sql(dialect: str) -> str:
+    """argmin over the K centroid distances — one CASE chain over
+    d0..d3 (computed once in the enclosing subquery)."""
+    return (
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0 "
+        "WHEN d1 <= d2 AND d1 <= d3 THEN 1 "
+        "WHEN d2 <= d3 THEN 2 ELSE 3 END"
+    )
+
+
+def _ivf_probe_cells() -> list[int]:
+    """The query's 2 nearest cells, precomputed driver-side (python
+    floats; the cell RANKING is robust — centroid distances differ at
+    O(1), far above float error)."""
+    dists = [
+        sum((q - c) ** 2 for q, c in zip(QUERY_VEC, cen)) for cen in _IVF_CENTROIDS
+    ]
+    return sorted(sorted(range(_IVF_K), key=lambda j: dists[j])[:2])
+
+
+_IVF_PROBES = _ivf_probe_cells()
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH celled AS (
+  SELECT vec_id, embedding, {_ivf_cell_sql('duck')} AS cell
+  FROM (
+    SELECT vec_id, embedding,
+           {_l2_sql('embedding', _IVF_CENTROIDS[0], 'duck')} AS d0,
+           {_l2_sql('embedding', _IVF_CENTROIDS[1], 'duck')} AS d1,
+           {_l2_sql('embedding', _IVF_CENTROIDS[2], 'duck')} AS d2,
+           {_l2_sql('embedding', _IVF_CENTROIDS[3], 'duck')} AS d3
+    FROM embeddings
+  )
+)
+SELECT vec_id, cell,
+       CAST(FLOOR(({_l2_sql('embedding', QUERY_VEC, 'duck')}) * 10000) AS BIGINT)
+         AS distance_e4
+FROM celled
+WHERE cell IN ({", ".join(str(c) for c in _IVF_PROBES)})
+ORDER BY ({_l2_sql('embedding', QUERY_VEC, 'duck')}) ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest coarse
+    centroid (the inverted file), scan ONLY the query's 2 nearest
+    cells, exact-L2 rerank inside them. At 10^12 rows the cell id is a
+    partition column, so the probe is partition pruning — the scan
+    touches n_probe/K of the data — and the rerank is a per-cell local
+    top-k (TakeOrderedAndProject, no global sort). Centroid distances
+    and the rerank distance share expression text with the oracle
+    (bitwise-equal doubles); vec_id breaks ties."""
+    emb = load(spark, sf_dir, "embeddings")
+    celled = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"{_l2_sql('embedding', _IVF_CENTROIDS[0], 'spark')} AS d0",
+        f"{_l2_sql('embedding', _IVF_CENTROIDS[1], 'spark')} AS d1",
+        f"{_l2_sql('embedding', _IVF_CENTROIDS[2], 'spark')} AS d2",
+        f"{_l2_sql('embedding', _IVF_CENTROIDS[3], 'spark')} AS d3",
+    ).selectExpr("vec_id", "embedding", f"{_ivf_cell_sql('spark')} AS cell")
+    probed = celled.filter(F.col("cell").isin(_IVF_PROBES))
+    dist = F.expr(_l2_sql("embedding", QUERY_VEC, "spark"))
+    return (
+        probed.withColumn("_d", dist)
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            "cell",
+            F.floor(F.col("_d") * 10000).cast("bigint").alias("distance_e4"),
+        )
+    )
