@@ -546,3 +546,58 @@ def resample_stub(clips: DataFrame, target_sr: int) -> DataFrame:
     """Backward-compat alias for the round-2 stub name; the kernel is
     now real (see resample_clips)."""
     return resample_clips(clips, target_sr)
+
+
+def chunk_clips(clips: DataFrame, window_ms: int) -> DataFrame:
+    """Fixed-window chunking — the training-data 1→N explode for long
+    audio (whisper-style windows, VAD-free): decode → split into
+    ``window_ms`` windows (the last partial window is KEPT, never
+    padded — a chunk always holds real samples) → re-encode each chunk
+    in the parent's codec. Output rows are clip-shaped with
+    ``clip_id = "<parent>#<index>"`` (zero-padded, so lexicographic
+    order == chunk order) and dur_ms of the actual chunk.
+
+    Length contract (the oracle's hook): a parent decoding to n0
+    samples at sr with W = max(1, sr·window_ms // 1000) emits
+    ceil(n0 / W) chunks; every chunk has W samples except the last,
+    which has n0 − W·(chunks−1).
+
+    Scale notes: pure mapInPandas over payload-bounded row chunks —
+    linear, no shuffle; the 1→N fan-out multiplies rows, not bytes."""
+    from .schema import CLIPS_SCHEMA
+
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in it:
+            if len(full) == 0:
+                yield full
+                continue
+            for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+                out = {c: [] for c in cols}
+                for cid, b, sr, codec, tr in zip(
+                    pdf["clip_id"], pdf["bytes"], pdf["sr_hz"],
+                    pdf["codec"], pdf["transcript"],
+                ):
+                    pcm = _decode_one(b, codec)
+                    w = max(1, int(sr) * window_ms // 1000)
+                    n0 = len(pcm)
+                    k = max(1, -(-n0 // w))
+                    for j in range(k):
+                        seg = pcm[j * w : (j + 1) * w]
+                        enc = (
+                            wav_encode(seg, int(sr))
+                            if codec == "pcm_s16le"
+                            else fake_encode(seg, codec)
+                        )
+                        out["clip_id"].append(f"{cid}#{j:04d}")
+                        out["bytes"].append(enc)
+                        out["sr_hz"].append(np.int32(sr))
+                        out["dur_ms"].append(
+                            np.int32(round(len(seg) * 1000 / int(sr)))
+                        )
+                        out["codec"].append(codec)
+                        out["transcript"].append(tr)
+                yield pd.DataFrame(out)[cols]
+
+    return clips.select(*cols).mapInPandas(run, schema=CLIPS_SCHEMA)

@@ -408,6 +408,58 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_chunk",
+    oracle=f"""
+WITH m AS (
+  SELECT GREATEST(1, CAST(FLOOR(CAST(sr_hz AS DOUBLE) * dur_ms / 1000) AS BIGINT)) AS n0,
+         GREATEST(1, CAST((sr_hz * 250) // 1000 AS BIGINT)) AS w
+  FROM read_parquet('{SCRATCH}/chunk_meta/*.parquet')
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(CAST(CEIL(CAST(n0 AS DOUBLE) / w) AS BIGINT)) AS BIGINT) AS n_chunks,
+       CAST(SUM(n0) AS BIGINT) AS sum_samples,
+       CAST(SUM(CASE WHEN n0 % w = 0 THEN w ELSE n0 % w END) AS BIGINT)
+         AS sum_last_samples
+FROM m
+""",
+)
+def audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window audio chunking (audio.chunk_clips, 250 ms windows):
+    the engine chunks actual payload bytes and the entry RE-DECODES the
+    chunk bytes (extract_features) to count samples; the oracle derives
+    the full length contract — chunk counts, total samples, last-chunk
+    remainders — purely from the metadata sidecar. Any padding, loss,
+    or misaligned split breaks one of the three sums."""
+    from .audio import chunk_clips, extract_features
+    from .synth import synth_clips
+
+    meta_path = f"{SCRATCH}/chunk_meta"
+    shutil.rmtree(meta_path, ignore_errors=True)
+    clips = synth_clips(spark, 150, dur_range_ms=(400, 900), parts=6)
+    clips.select("clip_id", "sr_hz", "dur_ms").write.mode("overwrite").parquet(
+        meta_path
+    )
+    chunks = chunk_clips(clips, 250)
+    f = extract_features(chunks)
+    parsed = f.select(
+        F.substring_index("clip_id", "#", 1).alias("parent"),
+        F.substring_index("clip_id", "#", -1).cast("int").alias("idx"),
+        "n_samples",
+    )
+    per_parent = parsed.groupBy("parent").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_samples").alias("s"),
+        F.max_by("n_samples", "idx").alias("last_n"),
+    )
+    return per_parent.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("k").alias("n_chunks"),
+        F.sum("s").alias("sum_samples"),
+        F.sum("last_n").alias("sum_last_samples"),
+    )
+
+
+@register(
     "lakehouse_schema_evolution",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -134,3 +134,27 @@ def test_resample_clips_operator(spark):
     assert [f.name for f in out.schema.fields] == [
         "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
     ]
+
+
+def test_chunk_clips_sample_exact_roundtrip(spark):
+    """Concatenating a clip's chunks (in chunk order) must reproduce
+    the original decoded PCM byte-for-byte — no padding, loss, or
+    boundary drift (the 1->N explode is a pure partition of samples)."""
+    import numpy as np
+
+    from fupi_spark.audio import _decode_one, chunk_clips
+    from fupi_spark.synth import synth_clips
+
+    clips = synth_clips(spark, 40, dur_range_ms=(300, 700), parts=4)
+    chunks = chunk_clips(clips, 200).toPandas()
+    orig = clips.toPandas()
+    assert len(chunks) > len(orig)  # genuinely 1->N
+    for _, r in orig.iterrows():
+        mine = chunks[
+            chunks.clip_id.str.startswith(r.clip_id + "#")
+        ].sort_values("clip_id")
+        got = np.concatenate(
+            [_decode_one(b, c) for b, c in zip(mine["bytes"], mine["codec"])]
+        )
+        ref = _decode_one(r["bytes"], r["codec"])
+        assert np.array_equal(got, ref)
