@@ -88,6 +88,12 @@ def expire_snapshots(
         lc = table.snapshot(ids[-1]).summary.get("last_cluster_snapshot_id")
         if lc is not None and lc in ids:
             retained_ids = sorted(set(retained_ids) | {lc})
+    # pin every TAGGED snapshot (Iceberg refs semantics): tags are
+    # durable named baselines; their snapshots and files survive any
+    # retain_last until the tag is deleted
+    tagged = {sid for sid in table.tags().values() if sid in ids}
+    if tagged:
+        retained_ids = sorted(set(retained_ids) | tagged)
     expired_ids = [i for i in ids if i not in retained_ids]
     retained = [table.snapshot(i) for i in retained_ids]
     committed_jobs = _committed_job_ids(table, ids)

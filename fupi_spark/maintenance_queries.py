@@ -408,6 +408,64 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_tag_retention",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_clips,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+       CAST(SUM(octet_length(bytes)) AS BIGINT) AS sum_payload_bytes,
+       true AS all_tagged_files_exist
+FROM read_parquet('{SCRATCH}/tag_sidecar/*.parquet')
+""",
+)
+def lakehouse_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot tags (Iceberg refs): tag the first append, then append
+    more, compact, and expire(retain_last=1). The tagged snapshot and
+    its files must survive the expiry, and scanning BY TAG must return
+    exactly the first batch — audited against an independently-written
+    sidecar copy of that batch. Any GC of the tagged files or drift in
+    tag resolution breaks the content sums."""
+    import os
+
+    from . import meta as M
+    from .compact import compact
+    from .expire import expire_snapshots
+    from .synth import synth_clips
+
+    root = f"{SCRATCH}/tagged"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(f"{SCRATCH}/tag_sidecar", ignore_errors=True)
+    t = M.create_table(spark, root)
+    b1 = synth_clips(spark, 300, seed=1, dur_range_ms=(50, 100))
+    M.append(t, b1, job_id="b1", parts=4)
+    b1.write.mode("overwrite").parquet(f"{SCRATCH}/tag_sidecar")
+    t.set_tag("baseline")
+
+    b2 = synth_clips(spark, 200, seed=2, dur_range_ms=(50, 100)).withColumn(
+        "clip_id", F.concat(F.lit("n_"), F.col("clip_id"))
+    )
+    M.append(t, b2, job_id="b2", parts=3)
+    compact(t, target_bytes=1 << 30, job_id="q-compact")
+    report = expire_snapshots(t, retain_last=1)
+    tagged_sid = t.resolve_tag("baseline")
+    assert tagged_sid in report["retained_snapshots"]
+    all_exist = all(
+        os.path.exists(f"{t.root}/{p}")
+        for p in t.live_files(t.snapshot(tagged_sid))
+    )
+    return (
+        t.scan(tag="baseline")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("clip_id").alias("n_clips"),
+            F.sum("dur_ms").alias("sum_dur_ms"),
+            F.sum(F.length("bytes")).alias("sum_payload_bytes"),
+        )
+        .withColumn("all_tagged_files_exist", F.lit(all_exist))
+    )
+
+
+@register(
     "audio_chunk",
     oracle=f"""
 WITH m AS (

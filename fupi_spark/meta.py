@@ -197,6 +197,39 @@ class Table:
     def scan_schema_types(self) -> dict[str, str]:
         return {f.name: f.dataType.simpleString() for f in self.scan().schema.fields}
 
+    # -- tags (Iceberg refs parity) ---------------------------------------
+    def set_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Name a snapshot (Iceberg tag): expire_snapshots retains every
+        tagged snapshot (and so its files), giving durable named
+        baselines — audit points, WAP audit states, model-training
+        dataset pins — independent of retain_last. Overwrites an
+        existing tag of the same name (atomic whole-object PUT)."""
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"bad tag name {name!r}")
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot().snapshot_id
+        if sid not in self.snapshot_ids():
+            raise ValueError(f"no snapshot v{sid}")
+        self.storage.put(
+            f"metadata/refs/{name}.json", json.dumps({"snapshot_id": sid}).encode()
+        )
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for p in self.storage.list("metadata/refs"):
+            n = p.rsplit("/", 1)[-1]
+            if n.endswith(".json") and not n.startswith("."):
+                out[n[:-5]] = json.loads(self.storage.read(p))["snapshot_id"]
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        self.storage.delete(f"metadata/refs/{name}.json")
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"no tag {name!r}")
+        return t[name]
+
     def lineage_chain(self) -> list[dict]:
         """Snapshot lineage: (id, parent, operation, summary) per commit."""
         return [
@@ -256,16 +289,22 @@ class Table:
         return df.drop(CRC_COL) if CRC_COL in df.columns else df
 
     def scan(
-        self, snapshot_id: int | None = None, include_internal: bool = False
+        self,
+        snapshot_id: int | None = None,
+        include_internal: bool = False,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Read the table at a snapshot (time travel when id given).
-        ``include_internal`` keeps physical columns like ``_crc`` —
-        engine rewrites must carry them; queries should not see them.
+        """Read the table at a snapshot (time travel when id given, or
+        by name via ``tag``). ``include_internal`` keeps physical
+        columns like ``_crc`` — engine rewrites must carry them;
+        queries should not see them.
 
         Schema evolution (evolve.py): when the snapshot carries
         schema_ops, the read merges parquet footers and replays the
         ops, so the result always has the snapshot's declared schema
         regardless of each file's physical one."""
+        if tag is not None:
+            snapshot_id = self.resolve_tag(tag)
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         files = self.live_files(snap)
         if not files:

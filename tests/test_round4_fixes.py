@@ -462,3 +462,55 @@ def test_compact_conf_restored_on_failure(spark, tmp_path):
         C.compact(t, target_bytes=1 << 30, job_id="c-fail")
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == old_mpb
     assert spark.conf.get("spark.sql.files.openCostInBytes") == old_oc
+
+
+# ---------------------------------------------------------------------------
+# snapshot tags (Iceberg refs): named retention + tag time travel
+# ---------------------------------------------------------------------------
+
+
+def test_tags_pin_snapshots_until_deleted(spark, tmp_path):
+    from fupi_spark.expire import expire_snapshots
+
+    t = make_table(spark, str(tmp_path / "t"), n=200, parts=6)
+    base_files = set(t.live_files())
+    t.set_tag("audit")
+    tagged_sid = t.resolve_tag("audit")
+
+    extra = synth_clips(spark, 50, seed=3, dur_range_ms=(50, 100)).withColumn(
+        "clip_id", F.concat(F.lit("zz_"), F.col("clip_id"))
+    )
+    meta.append(t, extra, job_id="more")
+    report = expire_snapshots(t, retain_last=1)
+    # tagged snapshot retained, its files alive, tag scan exact
+    assert tagged_sid in report["retained_snapshots"]
+    assert base_files <= set(os.listdir(f"{t.root}/data") and {
+        p for p in t.live_files(t.snapshot(tagged_sid))
+    })
+    assert t.scan(tag="audit").count() == 200
+    assert t.scan().count() == 250
+
+    # deleting the tag releases the pin: next expiry collects it
+    t.delete_tag("audit")
+    report2 = expire_snapshots(t, retain_last=1)
+    assert tagged_sid not in report2["retained_snapshots"]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        t.resolve_tag("audit")
+
+
+def test_tag_validation_and_overwrite(spark, tmp_path):
+    t = make_table(spark, str(tmp_path / "t"), n=50, parts=2)
+    with pytest.raises(ValueError):
+        t.set_tag("bad/name")
+    with pytest.raises(ValueError):
+        t.set_tag("ghost", snapshot_id=999)
+    t.set_tag("v")
+    sid1 = t.resolve_tag("v")
+    extra = synth_clips(spark, 10, seed=4, dur_range_ms=(50, 80)).withColumn(
+        "clip_id", F.concat(F.lit("zz_"), F.col("clip_id"))
+    )
+    meta.append(t, extra, job_id="m2")
+    t.set_tag("v")  # re-point
+    assert t.resolve_tag("v") == t.current_snapshot().snapshot_id != sid1
