@@ -466,6 +466,95 @@ def lakehouse_tag_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_wap_audit",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+       CAST(SUM(CASE WHEN clip_id LIKE 'g_%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good_batch,
+       CAST(SUM(CASE WHEN clip_id LIKE 'b_%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad_batch,
+       1 AS good_published, 0 AS bad_published
+FROM read_parquet('{SCRATCH}/wap_sidecar/*.parquet')
+""",
+)
+def lakehouse_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (wap.py): a good batch publishes (the
+    ``published`` tag advances), a payload-corrupted batch is rejected
+    by the SNR audit (head rolled back, tag unmoved, files orphaned for
+    GC). The entry returns what a CONSUMER sees through the publish tag
+    after both attempts + expiry; the oracle recomputes it from an
+    independently-written sidecar of seed+good — zero 'b_' rows may
+    ever be visible."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from . import meta as M
+    from .expire import expire_snapshots
+    from .synth import synth_clips
+    from .wap import audited_append, publish_init, published_scan, snr_audit
+
+    root = f"{SCRATCH}/wap"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(f"{SCRATCH}/wap_sidecar", ignore_errors=True)
+    t = M.create_table(spark, root)
+    seed = synth_clips(spark, 300, seed=1, dur_range_ms=(50, 100))
+    M.append(t, seed, job_id="seed", parts=4)
+    publish_init(t)
+
+    from .synth import with_clip_prefix
+
+    # prefixing re-encodes the payload from the new id (the SNR audit
+    # re-synthesizes by clip_id — a bare rename reads as corruption)
+    good = with_clip_prefix(
+        synth_clips(spark, 100, seed=2, dur_range_ms=(50, 100)), "g_"
+    )
+    r_good = audited_append(t, good, snr_audit(), job_id="wap-good", parts=2)
+
+    bad_src = with_clip_prefix(
+        synth_clips(spark, 80, seed=3, dur_range_ms=(50, 100)), "b_"
+    )
+    schema = bad_src.schema
+
+    def corrupt_all(it: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in it:
+            bufs = []
+            for b in pdf["bytes"]:
+                arr = bytearray(b)
+                body = _np.frombuffer(arr, dtype=_np.uint8, offset=44).copy()
+                arr[44:] = (body ^ 0x55).tobytes()
+                bufs.append(bytes(arr))
+            pdf = pdf.copy()
+            pdf["bytes"] = bufs
+            yield pdf
+
+    bad = bad_src.mapInPandas(corrupt_all, schema=schema)
+    r_bad = audited_append(t, bad, snr_audit(), job_id="wap-bad", parts=2)
+    expire_snapshots(t, retain_last=1)
+
+    seed.unionByName(good).write.mode("overwrite").parquet(
+        f"{SCRATCH}/wap_sidecar"
+    )
+    return (
+        published_scan(t)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("dur_ms").alias("sum_dur_ms"),
+            F.sum(F.when(F.col("clip_id").like("g_%"), 1).otherwise(0)).alias(
+                "n_good_batch"
+            ),
+            F.sum(F.when(F.col("clip_id").like("b_%"), 1).otherwise(0)).alias(
+                "n_bad_batch"
+            ),
+        )
+        .withColumn("good_published", F.lit(1 if r_good["published"] else 0))
+        .withColumn("bad_published", F.lit(1 if r_bad["published"] else 0))
+    )
+
+
+@register(
     "audio_chunk",
     oracle=f"""
 WITH m AS (

@@ -131,3 +131,24 @@ def synth_clips_pandas(
         )
     ]  # deliberately per-clip: the oracle twin must not share the batched path
     return params[[f.name for f in CLIPS_SCHEMA.fields]]
+
+
+def with_clip_prefix(clips: DataFrame, prefix: str) -> DataFrame:
+    """Prefix every clip_id AND re-derive the payload from the new id,
+    keeping the id↔waveform contract intact (verify_clips re-
+    synthesizes by clip_id, so renaming without re-encoding reads as
+    corruption — by design)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["clip_id"] = prefix + pdf["clip_id"]
+            pdf["bytes"] = encode_clips_batch(
+                pdf["clip_id"].tolist(),
+                pdf["sr_hz"].to_numpy(),
+                pdf["dur_ms"].to_numpy(),
+                pdf["codec"].tolist(),
+            )
+            yield pdf[[f.name for f in CLIPS_SCHEMA.fields]]
+
+    return clips.mapInPandas(run, schema=CLIPS_SCHEMA)

@@ -514,3 +514,63 @@ def test_tag_validation_and_overwrite(spark, tmp_path):
     meta.append(t, extra, job_id="m2")
     t.set_tag("v")  # re-point
     assert t.resolve_tag("v") == t.current_snapshot().snapshot_id != sid1
+
+
+# ---------------------------------------------------------------------------
+# Write-Audit-Publish (wap.py)
+# ---------------------------------------------------------------------------
+
+
+def test_wap_publish_and_reject(spark, tmp_path):
+    """Good batch: audit passes, publish tag advances. Corrupted batch:
+    SNR audit rejects, head rolls back, consumers (published scan)
+    never see a bad row, expiry reclaims the rejected files."""
+    import numpy as np
+
+    from fupi_spark.expire import expire_snapshots
+    from fupi_spark.synth import with_clip_prefix
+    from fupi_spark.wap import (
+        audited_append,
+        publish_init,
+        published_scan,
+        snr_audit,
+    )
+
+    t = make_table(spark, str(tmp_path / "t"), n=200, parts=6)
+    publish_init(t)
+
+    good = with_clip_prefix(
+        synth_clips(spark, 50, seed=2, dur_range_ms=(50, 100)), "g_"
+    )
+    r = audited_append(t, good, snr_audit(), job_id="w-good", parts=2)
+    assert r["published"] and r["rows_in_batch"] == 50
+    assert published_scan(t).count() == 250
+
+    bad_src = with_clip_prefix(
+        synth_clips(spark, 30, seed=3, dur_range_ms=(50, 100)), "b_"
+    )
+    schema = bad_src.schema
+
+    def corrupt(it):
+        for pdf in it:
+            bufs = []
+            for b in pdf["bytes"]:
+                arr = bytearray(b)
+                body = np.frombuffer(arr, dtype=np.uint8, offset=44).copy()
+                arr[44:] = (body ^ 0x55).tobytes()
+                bufs.append(bytes(arr))
+            pdf = pdf.copy()
+            pdf["bytes"] = bufs
+            yield pdf
+
+    r2 = audited_append(
+        t, bad_src.mapInPandas(corrupt, schema), snr_audit(), job_id="w-bad", parts=1
+    )
+    assert not r2["published"] and "audit failed" in r2["audit_error"]
+    assert published_scan(t).count() == 250
+    assert t.scan().count() == 250  # head rolled back too
+    assert t.scan().filter(F.col("clip_id").startswith("b_")).count() == 0
+
+    rep = expire_snapshots(t, retain_last=1)
+    assert rep["deleted_files"]  # rejected batch reclaimed
+    assert published_scan(t).count() == 250  # publish tag pinned through expiry
