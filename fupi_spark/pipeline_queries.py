@@ -1011,3 +1011,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("_d") * 10000).cast("bigint").alias("distance_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 oracle: the batch translation map (previously pytest-only — the
+# deterministic token-map stub is SQL-expressible, so DuckDB can audit
+# the mapInPandas pipeline end-to-end; a real CTranslate2 kernel drops
+# into the same seam via FUPI_CT2_MODEL)
+# ---------------------------------------------------------------------------
+
+from .search import _TRANSLATION_TABLE  # noqa: E402
+
+_TR_CASE = (
+    "CASE t "
+    + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_TRANSLATION_TABLE.items())
+    )
+    + " ELSE t END"
+)
+
+
+@register(
+    "translate_batch_map",
+    oracle=f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(string_split(text, ' '), t -> {_TR_CASE}), ' ')
+         AS text_translated
+FROM documents
+ORDER BY doc_id
+LIMIT 100
+""",
+)
+def translate_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (searcher.py:42-80 reference parity): the Arrow-batched
+    mapInPandas translation pipeline over the first 100 documents,
+    audited token-for-token by DuckDB replaying the same map (split on
+    single spaces — empties preserved — per-token CASE, single-space
+    rejoin). The production CTranslate2 kernel swaps in behind the
+    same per-worker-model seam without touching this plan."""
+    from .search import translate_results
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+    out = translate_results(docs, cols=("text",))
+    return out.select("doc_id", "text_translated").orderBy("doc_id")
