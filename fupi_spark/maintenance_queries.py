@@ -408,6 +408,46 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_delete_where",
+    oracle=f"""
+SELECT CAST(SUM(CASE WHEN dur_ms % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rows_after,
+       CAST(SUM(CASE WHEN dur_ms % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_deleted,
+       CAST(SUM(CASE WHEN dur_ms % 7 <> 0 THEN dur_ms ELSE 0 END) AS BIGINT)
+         AS sum_dur_after,
+       0 AS residual_matches
+FROM read_parquet('{SCRATCH}/delete_sidecar/*.parquet')
+""",
+)
+def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE (merge.delete_where, CoW): the engine
+    deletes dur_ms%7 rows and reports the deleted count from manifest
+    arithmetic (inputs − outputs, no count job); the oracle recomputes
+    the expected survivor/victim split from a pre-delete sidecar copy.
+    residual_matches proves no victim row survived in the engine's
+    actual post-delete data files."""
+    from .expire import expire_snapshots
+    from .merge import delete_where
+
+    t = _fresh(spark, "delete", 800, parts=16)
+    shutil.rmtree(f"{SCRATCH}/delete_sidecar", ignore_errors=True)
+    t.scan().write.mode("overwrite").parquet(f"{SCRATCH}/delete_sidecar")
+    snap = delete_where(t, "dur_ms % 7 = 0", job_id="q-del")
+    expire_snapshots(t, retain_last=1)
+    residual = t.scan().filter(F.expr("dur_ms % 7 = 0")).count()
+    return (
+        t.scan()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows_after"),
+            F.sum("dur_ms").alias("sum_dur_after"),
+        )
+        .withColumn("n_deleted", F.lit(snap.summary["deleted_rows"]).cast("long"))
+        .withColumn("residual_matches", F.lit(residual).cast("int"))
+    )
+
+
+@register(
     "lakehouse_tag_retention",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

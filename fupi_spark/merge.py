@@ -387,3 +387,75 @@ def merge_into(
             "carried_rows": n_carries,
         },
     )
+
+
+def delete_where(
+    table: Table,
+    condition: str,
+    job_id: str | None = None,
+    prune: tuple | None = None,
+) -> Snapshot:
+    """DELETE FROM ... WHERE ``condition`` (SQL boolean over table
+    columns), copy-on-write — the row-level retention/GDPR primitive.
+
+    ``prune=(col, lo, hi)``: restrict the rewrite to files whose
+    manifest [min,max] range for ``col`` intersects [lo, hi] — sound
+    only when the CALLER guarantees every matching row falls in that
+    range (the usual shape: the condition itself is a range predicate
+    on a clustered stats column, e.g. deleting one user's clip_id
+    range). Without it every data file is rewritten (always correct).
+
+    Scale notes: the plan is scan → filter(NOT condition) → write —
+    no shuffle, no join; output granularity = scan partitioning. On a
+    linear-clustered table a key-range delete touches O(selectivity)
+    files (tested); deleted-row counts come from manifest arithmetic
+    (inputs − outputs), not an extra count job."""
+    spark = table.spark
+    base = table.current_snapshot()
+    job_id = job_id or f"delete-{uuid.uuid4().hex[:8]}"
+    entries = [
+        e for e in table.manifest_entries(base).to_pylist() if e["row_count"] != 0
+    ]
+    if prune is not None:
+        col, lo, hi = prune
+        lo_k, hi_k = f"min_{col}", f"max_{col}"
+        entries = [
+            e
+            for e in entries
+            if e.get(lo_k) is None
+            or e.get(hi_k) is None
+            or not (e[hi_k] < lo or e[lo_k] > hi)
+        ]
+    touched_paths = [e["file_path"] for e in entries]
+    if not touched_paths:
+        return base
+
+    log = LineageLog(table, job_id)  # marks the job active pre-write
+    target = table._read_files(
+        [f"{table.root}/{p}" for p in touched_paths], base
+    )
+    kept = target.filter(~F.expr(condition))
+    added = table.write_datafiles(kept, job_id)
+    n_in = sum(e["row_count"] for e in entries)
+    n_out = sum(added.column("row_count").to_pylist())
+    for i, e in enumerate(added.to_pylist()):
+        log.complete_unit(
+            i,
+            files_in=touched_paths if i == 0 else [],
+            files_out=[e["file_path"]],
+            bytes_in=sum(x["byte_size"] for x in entries) if i == 0 else 0,
+            bytes_out=e["byte_size"],
+            rows=e["row_count"],
+        )
+    return table.commit(
+        "delete",
+        added,
+        removed_paths=set(touched_paths),
+        base=base,
+        summary={
+            "job_id": job_id,
+            "condition": condition,
+            "touched_files": len(touched_paths),
+            "deleted_rows": n_in - n_out,
+        },
+    )

@@ -574,3 +574,53 @@ def test_wap_publish_and_reject(spark, tmp_path):
     rep = expire_snapshots(t, retain_last=1)
     assert rep["deleted_files"]  # rejected batch reclaimed
     assert published_scan(t).count() == 250  # publish tag pinned through expiry
+
+
+# ---------------------------------------------------------------------------
+# DELETE FROM ... WHERE (merge.delete_where)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_matches_pandas_and_prunes(spark, tmp_path):
+    """Predicate delete equals the pandas model; with prune on a
+    linear-clustered table a key-range delete rewrites only the files
+    whose range intersects (O(selectivity), not O(table))."""
+    import importlib
+
+    C = importlib.import_module("fupi_spark.cluster")
+    from fupi_spark.merge import delete_where
+
+    t = make_table(spark, str(tmp_path / "t"), n=400, parts=16)
+    C.cluster(t, curve="linear", target_bytes=1 << 18)
+    n_files = len(t.live_files())
+    assert n_files >= 4
+
+    pdf = t.scan().select("clip_id", "dur_ms").toPandas()
+    snap = delete_where(t, "dur_ms % 5 = 0", job_id="d1")
+    expected_deleted = int((pdf["dur_ms"] % 5 == 0).sum())
+    assert snap.summary["deleted_rows"] == expected_deleted
+    assert t.scan().count() == 400 - expected_deleted
+    assert t.scan().filter(F.expr("dur_ms % 5 = 0")).count() == 0
+
+    # pruned key-range delete: pick one file's range; only intersecting
+    # files may be rewritten
+    entries = sorted(t.manifest_entries().to_pylist(), key=lambda e: e["file_path"])
+    mid = entries[len(entries) // 2]
+    lo, hi = mid["min_clip_id"], mid["max_clip_id"]
+    victims = t.scan().filter(
+        (F.col("clip_id") >= lo) & (F.col("clip_id") <= hi)
+    ).count()
+    snap2 = delete_where(
+        t,
+        f"clip_id >= '{lo}' AND clip_id <= '{hi}'",
+        job_id="d2",
+        prune=("clip_id", lo, hi),
+    )
+    assert snap2.summary["deleted_rows"] == victims
+    assert snap2.summary["touched_files"] < len(entries)
+    assert (
+        t.scan()
+        .filter((F.col("clip_id") >= lo) & (F.col("clip_id") <= hi))
+        .count()
+        == 0
+    )
