@@ -92,6 +92,27 @@ def test_random_op_sequence_matches_model(spark, tmp_table_dir, seed):
         meta.rollback(t, sid)
         model = snap_model.copy()
 
+    def delete_where_op():
+        nonlocal model
+        if model.empty:
+            return
+        from fupi_spark.merge import delete_where
+
+        m = rng.choice([3, 5, 11])
+        delete_where(
+            t, f"dur_ms % {m} = 0", job_id=f"dw{batch_no}-{rng.randint(0, 9999)}"
+        )
+        model = model[model["dur_ms"].astype(int) % m != 0].reset_index(drop=True)
+
+    def tag_op():
+        # tags must never change content; they pin snapshots through
+        # the expire op below (meta-level invariant folded into the
+        # same content check)
+        if rng.random() < 0.5:
+            t.set_tag(f"tag{rng.randint(0, 2)}")
+        else:
+            t.delete_tag(f"tag{rng.randint(0, 2)}")
+
     ops = {
         "append": append_batch,
         "compact": lambda: compact(t, target_bytes=1 << 30, job_id=f"c{rng.randint(0, 99999)}"),
@@ -100,6 +121,8 @@ def test_random_op_sequence_matches_model(spark, tmp_table_dir, seed):
         else None,
         "merge_update": merge_update,
         "merge_delete": merge_delete,
+        "delete_where": delete_where_op,
+        "tag": tag_op,
         "expire": lambda: expire_snapshots(t, retain_last=rng.randint(1, 3)),
         "rollback": rollback_one,
     }
