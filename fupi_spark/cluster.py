@@ -237,6 +237,10 @@ def cluster(
     worth of rows, and no range split can divide it). 0 = off, N>1 =
     forced salt factor."""
     assert curve in ("zorder", "hilbert", "linear")
+    if job_id is not None:
+        prev = table.committed_snapshot_for_job(job_id)
+        if prev is not None:
+            return prev  # idempotent re-submission
     spark = table.spark
     base = table.current_snapshot()
     entries = table.manifest_entries(base).to_pylist()
@@ -373,6 +377,10 @@ def cluster_incremental(
     clustered. No-op (returns the current snapshot) when no files were
     added since the last cluster."""
     assert curve in ("zorder", "hilbert", "linear")
+    if job_id is not None:
+        prev = table.committed_snapshot_for_job(job_id)
+        if prev is not None:
+            return prev  # idempotent re-submission
     base = table.current_snapshot()
     # the marker (carried in every summary, expire-pinned) is the
     # primary lookup — the chain walk is only a fallback for tables

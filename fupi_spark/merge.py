@@ -173,6 +173,10 @@ def merge_into(
     assert not_matched_by_source in (None, "delete")
     keys = list(keys or [MERGE_KEY])
     assert keys, "merge needs at least one key column"
+    if job_id is not None:
+        prev = table.committed_snapshot_for_job(job_id)
+        if prev is not None:
+            return prev  # idempotent re-submission
     spark = table.spark
     base = table.current_snapshot()
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
@@ -410,6 +414,10 @@ def delete_where(
     linear-clustered table a key-range delete touches O(selectivity)
     files (tested); deleted-row counts come from manifest arithmetic
     (inputs − outputs), not an extra count job."""
+    if job_id is not None:
+        prev = table.committed_snapshot_for_job(job_id)
+        if prev is not None:
+            return prev  # idempotent re-submission
     spark = table.spark
     base = table.current_snapshot()
     job_id = job_id or f"delete-{uuid.uuid4().hex[:8]}"

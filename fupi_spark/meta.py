@@ -197,6 +197,17 @@ class Table:
     def scan_schema_types(self) -> dict[str, str]:
         return {f.name: f.dataType.simpleString() for f in self.scan().schema.fields}
 
+    def committed_snapshot_for_job(self, job_id: str) -> Snapshot | None:
+        """The snapshot a job id already committed, if any — the
+        idempotent re-submission guard every maintenance op shares: an
+        orchestrator retrying a job whose commit actually landed (e.g.
+        after a timeout) must be a no-op, not a second full rewrite."""
+        for sid in self.snapshot_ids():
+            s = self.snapshot(sid)
+            if s.summary.get("job_id") == job_id:
+                return s
+        return None
+
     # -- tags (Iceberg refs parity) ---------------------------------------
     def set_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Name a snapshot (Iceberg tag): expire_snapshots retains every
