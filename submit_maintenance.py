@@ -10,8 +10,10 @@ multi-executor clusters. Package and run:
 Ops:
     pipeline  synth(--clips) → append small files → compact → cluster →
               merge 1% upsert → verify → expire   (the bench workload)
-    compact | cluster | cluster-incremental | merge-demo | expire | verify
-              individual maintenance jobs against an existing table
+    compact | cluster | cluster-incremental | merge-demo | expire |
+    verify | delete --where <pred> | set-tag/delete-tag --tag <name>
+              individual maintenance jobs against an existing table;
+              --job-id makes retries of a committed job no-ops
 
 The script takes its SparkSession from spark-submit (master/conf come
 from the submit command; fupi_spark.session only fills in local
@@ -34,7 +36,8 @@ def main() -> int:
         default="pipeline",
         choices=[
             "pipeline", "compact", "cluster", "cluster-incremental",
-            "merge-demo", "expire", "verify",
+            "merge-demo", "expire", "verify", "delete", "set-tag",
+            "delete-tag",
         ],
     )
     p.add_argument("--clips", type=int, default=2000)
@@ -43,6 +46,9 @@ def main() -> int:
         "--curve", default="zorder", choices=["zorder", "hilbert", "linear"]
     )
     p.add_argument("--retain-last", type=int, default=2)
+    p.add_argument("--where", help="SQL predicate for --op delete")
+    p.add_argument("--tag", help="tag name for --op set-tag / delete-tag")
+    p.add_argument("--job-id", help="idempotent job id (retries become no-ops)")
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -85,12 +91,16 @@ def main() -> int:
     else:
         t = meta.load_table(spark, args.table)
         if args.op == "compact":
-            snap = compact(t, target_bytes=target)
+            snap = compact(t, target_bytes=target, job_id=args.job_id)
             report["snapshot"] = snap.snapshot_id if snap else None
         elif args.op == "cluster":
-            report["snapshot"] = cluster(t, curve=args.curve, target_bytes=target).snapshot_id
+            report["snapshot"] = cluster(
+                t, curve=args.curve, target_bytes=target, job_id=args.job_id
+            ).snapshot_id
         elif args.op == "cluster-incremental":
-            snap = cluster_incremental(t, curve=args.curve, target_bytes=target)
+            snap = cluster_incremental(
+                t, curve=args.curve, target_bytes=target, job_id=args.job_id
+            )
             report["snapshot"] = snap.snapshot_id
             report["mode"] = snap.summary.get("mode", "full")
         elif args.op == "merge-demo":
@@ -101,7 +111,22 @@ def main() -> int:
                 .cache()
             )
             upd.count()
-            report["snapshot"] = merge_into(t, upd).snapshot_id
+            report["snapshot"] = merge_into(t, upd, job_id=args.job_id).snapshot_id
+        elif args.op == "delete":
+            assert args.where, "--op delete requires --where"
+            from fupi_spark.merge import delete_where
+
+            snap = delete_where(t, args.where, job_id=args.job_id)
+            report["snapshot"] = snap.snapshot_id
+            report["deleted_rows"] = snap.summary.get("deleted_rows")
+        elif args.op == "set-tag":
+            assert args.tag, "--op set-tag requires --tag"
+            t.set_tag(args.tag)
+            report["tags"] = t.tags()
+        elif args.op == "delete-tag":
+            assert args.tag, "--op delete-tag requires --tag"
+            t.delete_tag(args.tag)
+            report["tags"] = t.tags()
         elif args.op == "expire":
             report["report"] = expire_snapshots(t, retain_last=args.retain_last)
         elif args.op == "verify":
