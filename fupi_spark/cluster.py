@@ -243,7 +243,8 @@ def cluster(
             return prev  # idempotent re-submission
     spark = table.spark
     base = table.current_snapshot()
-    entries = table.manifest_entries(base).to_pylist()
+    entries = table.data_entries(base)
+    dels = table.delete_entries(base)
     if not entries:
         raise ValueError("cannot cluster an empty table")
     total_bytes = sum(e["byte_size"] for e in entries)
@@ -302,12 +303,15 @@ def cluster(
     df = df.withColumn("_bucket", bucket)
 
     n_parts = (len(boundaries) + 1) * max(effective_salt, 1)
+    # the rewrite reads through scan() -> outstanding MOR deletes are
+    # APPLIED; removing the delete files here materializes them
     return _write_clustered(
-        table, df, n_parts, sort_cols, job_id, entries, total_bytes, base,
+        table, df, n_parts, sort_cols, job_id, entries + dels, total_bytes, base,
         summary={
             "job_id": job_id,
             "curve": curve,
             "salt_buckets": effective_salt,
+            "deletes_materialized": len(dels),
         },
     )
 
@@ -405,7 +409,7 @@ def cluster_incremental(
     prev_live = set(table.live_files(table.snapshot(last_cluster_id)))
     entries = [
         e
-        for e in table.manifest_entries(base).to_pylist()
+        for e in table.data_entries(base)
         if e["file_path"] not in prev_live
     ]
     if not entries:

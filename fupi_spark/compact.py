@@ -162,16 +162,34 @@ def compact(
         for sid_done in table.snapshot_ids():
             if table.snapshot(sid_done).summary.get("job_id") == job_id:
                 return None
-    entries = table.manifest_entries(base).to_pylist()
+    entries = table.data_entries(base)
+    dels = table.delete_entries(base)
     # bins NEVER mix schema generations (evolve.py): compaction streams
     # files byte-for-byte, so a bin must be physically homogeneous —
     # pre-evolution files (NULL schema_id == gen 0) pack together,
     # post-evolution files pack together. Composes with the caller's
     # clustering-aware group_fn.
+    #
+    # MOR interplay: compaction applies NO deletes (pure byte
+    # concatenation), so an output file must be subject to exactly the
+    # deletes its inputs were. An equality delete with sequence s
+    # applies to files with sequence <= s, so two inputs with different
+    # applicable-delete sets can never share a bin (one merged output
+    # sequence cannot represent both); outputs inherit their inputs'
+    # (common-applicability) minimum sequence instead of the committing
+    # snapshot's.
+    def _applicability(e):
+        fseq = e.get("sequence") or 0
+        return frozenset(
+            (d.get("sequence") or 0) for d in dels if (d.get("sequence") or 0) >= fseq
+        )
+
     groups: dict = {}
     for e in entries:
         sid = e.get("schema_id") or 0
-        key = (sid, group_fn(e)) if group_fn is not None else (sid,)
+        key = (sid, _applicability(e))
+        if group_fn is not None:
+            key = key + (group_fn(e),)
         groups.setdefault(key, []).append(e)
     bins = []
     for g in sorted(groups, key=repr):
@@ -367,6 +385,10 @@ def compact(
                 # output keeps the INPUT generation's physical schema
                 # (streamed bytes, never padded) — bins are sid-pure
                 "schema_id": ins[0].get("schema_id") or 0,
+                "content": "data",
+                # inherit the (common-applicability) minimum input
+                # sequence so outstanding MOR deletes keep applying
+                "sequence": min((x.get("sequence") or 0) for x in ins),
             }
             for c in table.stats_cols:
                 lo = [x[f"min_{c}"] for x in ins]

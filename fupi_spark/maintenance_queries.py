@@ -448,6 +448,76 @@ def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_mor_delete",
+    oracle=f"""
+WITH orig AS (SELECT * FROM read_parquet('{SCRATCH}/mor_orig/*.parquet')),
+dels AS (SELECT clip_id FROM read_parquet('{SCRATCH}/mor_delkeys/*.parquet')),
+reins AS (SELECT * FROM read_parquet('{SCRATCH}/mor_reins/*.parquet')),
+post AS (SELECT clip_id FROM read_parquet('{SCRATCH}/mor/data/*.parquet'))
+SELECT CAST((SELECT COUNT(*) FROM orig WHERE clip_id NOT IN (SELECT clip_id FROM dels))
+            + (SELECT COUNT(*) FROM reins) AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(dur_ms) FROM orig WHERE clip_id NOT IN (SELECT clip_id FROM dels))
+            + (SELECT SUM(dur_ms) FROM reins) AS BIGINT) AS sum_dur_ms,
+       CAST((SELECT COUNT(*) FROM post
+             WHERE clip_id IN (SELECT clip_id FROM dels)) AS BIGINT)
+         AS victims_in_files,
+       0 AS mor_files_outstanding
+""",
+)
+def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle: MOR equality-delete 50 keys (no data
+    file rewritten) → re-insert 10 of them (higher sequence → visible)
+    → compact (applicability-grouped byte stream) → full cluster
+    (materializes the deletes, drops the delete file) → expire. The
+    engine reports its scan; the oracle derives expected rows/sums
+    INDEPENDENTLY from pre-state sidecars and audits the engine's
+    actual post-cluster bytes: exactly the 10 re-inserted victims may
+    appear in the data files, and no delete file may remain."""
+    from . import meta as M
+    from .compact import compact
+    from .cluster import cluster
+    from .expire import expire_snapshots
+    from .merge import delete_keys_mor
+    from .synth import synth_clips
+
+    root = f"{SCRATCH}/mor"
+    for d in ("mor", "mor_orig", "mor_delkeys", "mor_reins"):
+        shutil.rmtree(f"{SCRATCH}/{d}", ignore_errors=True)
+    t = M.create_table(spark, root)
+    M.append(t, synth_clips(spark, 300, dur_range_ms=(50, 120), parts=6), job_id="seed")
+    t.scan().write.mode("overwrite").parquet(f"{SCRATCH}/mor_orig")
+
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    victims = ids[:50]
+    kdf = spark.createDataFrame([(k,) for k in victims], "clip_id string")
+    kdf.write.mode("overwrite").parquet(f"{SCRATCH}/mor_delkeys")
+    delete_keys_mor(t, kdf, job_id="q-mor")
+
+    reins = t.scan(snapshot_id=2).filter(F.col("clip_id").isin(victims[:10]))
+    reins.write.mode("overwrite").parquet(f"{SCRATCH}/mor_reins")
+    M.append(t, reins, job_id="q-re", parts=2)
+
+    compact(t, target_bytes=1 << 30, job_id="q-compact")
+    cluster(t, curve="linear", target_bytes=1 << 19, job_id="q-cluster")
+    expire_snapshots(t, retain_last=1)
+    outstanding = len(t.delete_entries())
+    return (
+        t.scan()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("dur_ms").alias("sum_dur_ms"),
+        )
+        .withColumn(
+            "victims_in_files",
+            F.lit(
+                t.scan().filter(F.col("clip_id").isin(victims)).count()
+            ).cast("long"),
+        )
+        .withColumn("mor_files_outstanding", F.lit(outstanding))
+    )
+
+
+@register(
     "lakehouse_tag_retention",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

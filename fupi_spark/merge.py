@@ -91,8 +91,7 @@ def plan_touched_files(
     (a superset of the truly touched files) and exactly what a
     leading-key-clustered layout rewards; a key without manifest stats
     disables pruning (all files touched, still correct)."""
-    entries = table.manifest_entries(base).to_pylist()
-    entries = [e for e in entries if e["row_count"] != 0]
+    entries = [e for e in table.data_entries(base) if e["row_count"] != 0]
     if not entries:
         return []
     if key not in table.stats_cols:
@@ -220,9 +219,7 @@ def merge_into(
         # key-range pruning no longer bounds the rewrite: all files are
         # touched (same as SQL MERGE semantics — this is a full-table CoW)
         touched = [
-            e
-            for e in table.manifest_entries(base).to_pylist()
-            if e["row_count"] != 0
+            e for e in table.data_entries(base) if e["row_count"] != 0
         ]
     else:
         touched = plan_touched_files(table, source, base, key=keys[0])
@@ -421,9 +418,7 @@ def delete_where(
     spark = table.spark
     base = table.current_snapshot()
     job_id = job_id or f"delete-{uuid.uuid4().hex[:8]}"
-    entries = [
-        e for e in table.manifest_entries(base).to_pylist() if e["row_count"] != 0
-    ]
+    entries = [e for e in table.data_entries(base) if e["row_count"] != 0]
     if prune is not None:
         col, lo, hi = prune
         lo_k, hi_k = f"min_{col}", f"max_{col}"
@@ -466,4 +461,58 @@ def delete_where(
             "touched_files": len(touched_paths),
             "deleted_rows": n_in - n_out,
         },
+    )
+
+
+def delete_keys_mor(
+    table: Table,
+    keys: DataFrame,
+    job_id: str | None = None,
+    key: str = MERGE_KEY,
+) -> Snapshot:
+    """Merge-on-read equality delete (Iceberg v2 shape): write the key
+    set as a DELETE FILE and commit — no data file is touched, so the
+    write cost is O(keys) regardless of table size. Readers anti-join
+    the keys sequence-aware (meta._apply_deletes): the delete applies
+    only to data files whose sequence <= the delete's, so re-inserting
+    a deleted key later is visible while the old copies stay dead.
+
+    The deletes are physically materialized by the next rewrite that
+    reads through ``_read_files`` — a full cluster() drops them
+    entirely; MERGE/incremental-cluster materialize them for the files
+    they rewrite. Compaction keeps them outstanding (it streams bytes)
+    and never packs files with different delete-applicability sets.
+
+    This is the high-update-rate counterpart to delete_where's
+    copy-on-write: O(keys) now + read-side anti-join until the next
+    rewrite, vs O(touched bytes) now and clean reads."""
+    if job_id is not None:
+        prev = table.committed_snapshot_for_job(job_id)
+        if prev is not None:
+            return prev  # idempotent re-submission
+    import pyarrow as pa
+
+    job_id = job_id or f"delmor-{uuid.uuid4().hex[:8]}"
+    kdf = keys.select(key).distinct()
+    log = LineageLog(table, job_id)  # marks the job active pre-write
+    added = table.write_datafiles(kdf.coalesce(1), job_id)
+    added = added.set_column(
+        added.schema.get_field_index("content"),
+        "content",
+        pa.array(["deletes"] * added.num_rows, type=pa.string()),
+    )
+    n_keys = sum(added.column("row_count").to_pylist())
+    for i, e in enumerate(added.to_pylist()):
+        log.complete_unit(
+            i,
+            files_in=[],
+            files_out=[e["file_path"]],
+            bytes_in=0,
+            bytes_out=e["byte_size"],
+            rows=e["row_count"],
+        )
+    return table.commit(
+        "delete-mor",
+        added,
+        summary={"job_id": job_id, "deleted_keys": n_keys, "key": key},
     )

@@ -277,6 +277,23 @@ class Table:
     def live_files(self, snapshot: Snapshot | None = None) -> list[str]:
         return self.manifest_entries(snapshot).column("file_path").to_pylist()
 
+    def data_entries(self, snapshot: Snapshot | None = None) -> list[dict]:
+        """Row-data file entries (excludes MOR equality-delete files;
+        NULL content == 'data' for pre-MOR manifests)."""
+        return [
+            e
+            for e in self.manifest_entries(snapshot).to_pylist()
+            if (e.get("content") or "data") == "data"
+        ]
+
+    def delete_entries(self, snapshot: Snapshot | None = None) -> list[dict]:
+        """Outstanding MOR equality-delete file entries."""
+        return [
+            e
+            for e in self.manifest_entries(snapshot).to_pylist()
+            if e.get("content") == "deletes"
+        ]
+
     def write_manifest(self, entries: pa.Table) -> str:
         # staged under _staging/ so a crash between write and promote
         # leaves the temp where expire's committed-job sweep and the
@@ -317,15 +334,21 @@ class Table:
         if tag is not None:
             snapshot_id = self.resolve_tag(tag)
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
-        files = self.live_files(snap)
+        files = [e["file_path"] for e in self.data_entries(snap)]
         if not files:
             raise ValueError("empty table: no committed snapshot with files")
         df = self._read_files([f"{self.root}/{p}" for p in files], snap)
         return df if include_internal else self._drop_internal(df)
 
     def _read_files(self, paths: list[str], snap: Snapshot | None) -> DataFrame:
-        """Evolution-aware file read: merge parquet footers and replay
-        the snapshot's schema ops (no-op for never-evolved tables)."""
+        """Evolution-aware, delete-aware file read: merge parquet
+        footers, replay the snapshot's schema ops, and apply the
+        snapshot's outstanding MOR equality deletes (no-op for tables
+        without either). Every consumer — scan, pruned scans, MERGE's
+        touched-file read, cluster rewrites — reads through here, so
+        merge-on-read semantics hold engine-wide; compaction
+        deliberately bypasses it (it streams bytes and partitions bins
+        by delete applicability instead)."""
         ops = self.schema_ops(snap)
         reader = self.spark.read
         if ops:
@@ -335,7 +358,57 @@ class Table:
             from .evolve import apply_schema_ops
 
             df = apply_schema_ops(df, ops)
-        return df
+        return self._apply_deletes(df, snap)
+
+    def _apply_deletes(self, df: DataFrame, snap: Snapshot | None) -> DataFrame:
+        """Anti-join the MOR equality-delete keys, sequence-aware: a
+        row from data file f is removed iff its key appears in a delete
+        file d with sequence(f) <= sequence(d). Re-inserted keys (newer
+        data sequence) survive — Iceberg v2 equality-delete semantics.
+
+        Plan shape: delete keys are (key, max_sequence) after a tiny
+        union+agg over the delete files; both the key set and the
+        basename→sequence map broadcast, so the data stream takes one
+        map-side left join + filter — no shuffle of the payload."""
+        snap = snap or self.current_snapshot()
+        dels = self.delete_entries(snap)
+        if not dels:
+            return df
+        from functools import reduce
+
+        spark = self.spark
+        parts = []
+        key_cols: list[str] | None = None
+        for e in dels:
+            d = spark.read.parquet(f"{self.root}/{e['file_path']}")
+            kcols = [c for c in d.columns if not c.startswith("_")]
+            key_cols = kcols if key_cols is None else key_cols
+            parts.append(
+                d.select(*key_cols).withColumn(
+                    "_del_seq", F.lit(int(e.get("sequence") or 0))
+                )
+            )
+        del_df = (
+            reduce(lambda a, b: a.unionByName(b), parts)
+            .groupBy(*key_cols)
+            .agg(F.max("_del_seq").alias("_del_seq"))
+        )
+        seq_rows = [
+            (e["file_path"].rsplit("/", 1)[-1], int(e.get("sequence") or 0))
+            for e in self.data_entries(snap)
+        ]
+        seq_df = self.spark.createDataFrame(seq_rows, "_fname string, _fseq long")
+        out = (
+            df.withColumn("_fname", F.col("_metadata.file_name"))
+            .join(F.broadcast(seq_df), "_fname", "left")
+            .join(F.broadcast(del_df), key_cols, "left")
+            .filter(
+                F.col("_del_seq").isNull()
+                | (F.coalesce(F.col("_fseq"), F.lit(0)) > F.col("_del_seq"))
+            )
+            .drop("_fname", "_fseq", "_del_seq")
+        )
+        return out
 
     #: manifest sizes above this run the file-skip decision as a
     #: distributed filter over manifest_df instead of a driver loop
@@ -360,11 +433,13 @@ class Table:
         total = (snap.summary or {}).get("total_files") if snap else None
         # NULL stats (column absent at write time) are unbounded — the
         # file can never be skipped on that column.
+        _is_data = F.col("content").isNull() | (F.col("content") == "data")
         if total is not None and total > self.PRUNE_DRIVER_MAX:
             mdf = self.manifest_df(snap)
             keep_paths = [
                 r["file_path"]
-                for r in mdf.filter(
+                for r in mdf.filter(_is_data)
+                .filter(
                     F.col(f"max_{col}").isNull()
                     | F.col(f"min_{col}").isNull()
                     | ~(
@@ -377,7 +452,7 @@ class Table:
             ]
             files_total = total
         else:
-            entries = self.manifest_entries(snap).to_pylist()
+            entries = self.data_entries(snap)
             keep_paths = [
                 e["file_path"]
                 for e in entries
@@ -442,6 +517,7 @@ class Table:
             keep_paths = [
                 r["file_path"]
                 for r in self.manifest_df(snap)
+                .filter(F.col("content").isNull() | (F.col("content") == "data"))
                 .join(
                     F.broadcast(vdf),
                     F.col(f"min_{col}").isNull()
@@ -457,7 +533,7 @@ class Table:
             ]
             files_total = total
         else:
-            entries = self.manifest_entries(snap).to_pylist()
+            entries = self.data_entries(snap)
             keep_paths = [
                 e["file_path"]
                 for e in entries
@@ -483,7 +559,7 @@ class Table:
         whose plan grows O(files) and whose per-branch footer reads
         serialize on the driver."""
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
-        entries = sorted(self.manifest_entries(snap).to_pylist(), key=lambda e: e["file_path"])
+        entries = sorted(self.data_entries(snap), key=lambda e: e["file_path"])
         if not entries:
             raise ValueError("empty table: no files in snapshot")
         ord_df = self.spark.createDataFrame(
@@ -649,10 +725,17 @@ class Table:
             if removed_paths:
                 keep_mask = [p not in removed_paths for p in live.column("file_path").to_pylist()]
                 live = live.filter(pa.array(keep_mask))
-            merged = pa.concat_tables([live.cast(self.manifest_schema), added.cast(self.manifest_schema)])
-            manifest_rel = self.write_manifest(merged)
-
             next_id = (base.snapshot_id if base else 0) + 1
+            # MOR bookkeeping: added entries default to content='data'
+            # and sequence=<this snapshot id> unless the op set them
+            # explicitly (compaction inherits its inputs' sequence;
+            # delete files carry content='deletes'). Stamped inside the
+            # retry loop because a rebase changes next_id.
+            stamped = _stamp_added(
+                added.cast(self.manifest_schema), self.manifest_schema, next_id
+            )
+            merged = pa.concat_tables([live.cast(self.manifest_schema), stamped])
+            manifest_rel = self.write_manifest(merged)
             # schema evolution ops are table-level state: inherit them
             # from the base snapshot unless this commit sets them
             # explicitly (evolve.py does; everything else inherits)
@@ -719,11 +802,41 @@ def _manifest_arrow_fields(stats_spec: list[tuple[str, pa.DataType]]) -> list[pa
         # compaction packs bins per generation so one bin never mixes
         # physical schemas. NULL (pre-evolution manifests) == gen 0.
         pa.field("schema_id", pa.int64()),
+        # merge-on-read support (Iceberg v2 shape): 'content' marks a
+        # file as row data or an equality-DELETE key file (NULL ==
+        # 'data' for pre-MOR manifests); 'sequence' is the committing
+        # snapshot id — an equality delete applies to a data file iff
+        # file.sequence <= delete.sequence, so re-inserting a deleted
+        # key (new, higher sequence) is visible while old copies stay
+        # deleted. Rewrites that APPLY deletes stamp the new sequence;
+        # compaction (streams bytes, applies nothing) inherits its
+        # inputs' sequence and never mixes applicability sets.
+        pa.field("content", pa.string()),
+        pa.field("sequence", pa.int64()),
     ]
     for c, typ in stats_spec:
         fields.append(pa.field(f"min_{c}", typ))
         fields.append(pa.field(f"max_{c}", typ))
     return fields
+
+
+def _stamp_added(tbl: pa.Table, schema: pa.Schema, seq: int) -> pa.Table:
+    """Fill NULL content/sequence on entries being added by a commit
+    (content → 'data', sequence → the committing snapshot id). Entries
+    with explicit values pass through untouched."""
+    cols = []
+    for f in schema:
+        col = tbl.column(f.name)
+        if f.name == "sequence":
+            col = pa.array(
+                [seq if v is None else v for v in col.to_pylist()], type=f.type
+            )
+        elif f.name == "content":
+            col = pa.array(
+                ["data" if v is None else v for v in col.to_pylist()], type=f.type
+            )
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=schema)
 
 
 def pad_cast_manifest(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -754,6 +867,8 @@ def _manifest_spark_schema(stats_spec: list[tuple[str, pa.DataType]]):
         T.StructField("byte_size", T.LongType()),
         T.StructField("checksum_bytes", T.LongType()),
         T.StructField("schema_id", T.LongType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("sequence", T.LongType()),
     ]
     for c, typ in stats_spec:
         fields.append(T.StructField(f"min_{c}", _map.get(typ, T.StringType())))
