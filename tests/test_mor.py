@@ -149,3 +149,35 @@ def test_mor_incremental_cluster_and_merge(spark, tmp_path):
     assert t.scan().count() == 360
     assert t.scan().filter(F.col("transcript").endswith(" v2")).count() == 5
     assert t.scan().filter(F.col("clip_id").isin(churn_ids[:20])).count() == 0
+
+
+def test_mor_lifecycle_on_object_store_without_rename(spark, tmp_path, monkeypatch):
+    """The whole MOR lifecycle (delete file write → sequence-aware scan
+    → cluster materialization) runs on the S3-semantics storage with
+    os.rename forbidden — nothing in the path assumes POSIX rename."""
+    from fupi_spark.storage import ObjectStoreStorage
+
+    root = str(tmp_path / "obj")
+    st = ObjectStoreStorage(root)
+    t = meta.create_table(spark, root, storage=st)
+    meta.append(t, synth_clips(spark, 120, dur_range_ms=(50, 90), parts=3), job_id="s")
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+
+    real_rename = os.rename
+
+    def forbidden(*a, **kw):
+        raise AssertionError(f"os.rename called on object-store table: {a}")
+
+    try:
+        monkeypatch.setattr(os, "rename", forbidden)
+        delete_keys_mor(t, _keys_df(spark, ids[:25]), job_id="dm")
+        assert t.scan().count() == 95
+        import importlib
+
+        C = importlib.import_module("fupi_spark.cluster")
+        C.cluster(t, curve="linear", target_bytes=1 << 18, job_id="cl")
+    finally:
+        monkeypatch.setattr(os, "rename", real_rename)
+    assert t.delete_entries() == []
+    assert t.scan().count() == 95
+    assert t.scan().filter(F.col("clip_id").isin(ids[:25])).count() == 0
