@@ -74,16 +74,29 @@ def dimension_bounds(table: Table) -> dict:
     searchsorted rank used by curve_key_udf and refimpl places such a
     value deterministically between its known neighbours, so ordering
     stays total and consistent across engine and oracle."""
-    entries = table.manifest_entries().to_pylist()
+    # DATA entries only: MOR delete files carry key-column stats but
+    # NULL for every other dimension (the seed-37 op-sequence fuzz
+    # caught a TypeError here); NULL stats on data files (column absent
+    # at write time) fold conservatively via the non-NULL subset.
+    entries = table.data_entries()
     if not entries:
         raise ValueError("cannot cluster an empty table")
+
+    def _fold(key: str, fn, default=0):
+        vs = [e[key] for e in entries if e[key] is not None]
+        return fn(vs) if vs else default
+
     b = {
-        "clip_id_lo": int(zorder.string_to_u64([min(e["min_clip_id"] for e in entries)])[0]),
-        "clip_id_hi": int(zorder.string_to_u64([max(e["max_clip_id"] for e in entries)])[0]),
-        "sr_lo": min(e["min_sr_hz"] for e in entries),
-        "sr_hi": max(e["max_sr_hz"] for e in entries),
-        "dur_lo": min(e["min_dur_ms"] for e in entries),
-        "dur_hi": max(e["max_dur_ms"] for e in entries),
+        "clip_id_lo": int(
+            zorder.string_to_u64([_fold("min_clip_id", min, "")])[0]
+        ),
+        "clip_id_hi": int(
+            zorder.string_to_u64([_fold("max_clip_id", max, "")])[0]
+        ),
+        "sr_lo": _fold("min_sr_hz", min),
+        "sr_hi": _fold("max_sr_hz", max),
+        "dur_lo": _fold("min_dur_ms", min),
+        "dur_hi": _fold("max_dur_ms", max),
     }
     codecs = sorted(
         {e["min_codec"] for e in entries if e["min_codec"] is not None}

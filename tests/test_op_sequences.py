@@ -28,7 +28,7 @@ def _content(t) -> pd.DataFrame:
     )
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("seed", [11, 23, 37])
 def test_random_op_sequence_matches_model(spark, tmp_table_dir, seed):
     rng = random.Random(seed)
     t = meta.create_table(spark, f"{tmp_table_dir}-{seed}")
@@ -104,6 +104,21 @@ def test_random_op_sequence_matches_model(spark, tmp_table_dir, seed):
         )
         model = model[model["dur_ms"].astype(int) % m != 0].reset_index(drop=True)
 
+    def mor_delete_op():
+        nonlocal model
+        if model.empty:
+            return
+        from fupi_spark.merge import delete_keys_mor
+
+        k = min(len(model), rng.randint(3, 12))
+        keys = sorted(model["clip_id"].sample(k, random_state=seed + batch_no + 2))
+        delete_keys_mor(
+            t,
+            spark.createDataFrame([(x,) for x in keys], "clip_id string"),
+            job_id=f"dm{batch_no}-{rng.randint(0, 9999)}",
+        )
+        model = model[~model["clip_id"].isin(keys)].reset_index(drop=True)
+
     def tag_op():
         # tags must never change content; they pin snapshots through
         # the expire op below (meta-level invariant folded into the
@@ -122,6 +137,7 @@ def test_random_op_sequence_matches_model(spark, tmp_table_dir, seed):
         "merge_update": merge_update,
         "merge_delete": merge_delete,
         "delete_where": delete_where_op,
+        "mor_delete": mor_delete_op,
         "tag": tag_op,
         "expire": lambda: expire_snapshots(t, retain_last=rng.randint(1, 3)),
         "rollback": rollback_one,
