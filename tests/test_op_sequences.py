@@ -28,7 +28,7 @@ def _content(t) -> pd.DataFrame:
     )
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37])
+@pytest.mark.parametrize("seed", [11, 23, 37, 47])
 def test_random_op_sequence_matches_model(spark, tmp_table_dir, seed):
     rng = random.Random(seed)
     t = meta.create_table(spark, f"{tmp_table_dir}-{seed}")
