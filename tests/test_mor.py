@@ -181,3 +181,16 @@ def test_mor_lifecycle_on_object_store_without_rename(spark, tmp_path, monkeypat
     assert t.delete_entries() == []
     assert t.scan().count() == 95
     assert t.scan().filter(F.col("clip_id").isin(ids[:25])).count() == 0
+
+
+def test_mor_scan_plan_stays_map_side(spark, tmp_path):
+    """Delete application must never shuffle the payload: the key set
+    and the basename→sequence map both broadcast (two
+    BroadcastHashJoins, no SortMergeJoin); the only exchange in the
+    plan is the tiny delete-key max-sequence aggregation."""
+    t = make_table(spark, str(tmp_path / "t"), n=150, parts=3)
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    delete_keys_mor(t, _keys_df(spark, ids[:20]), job_id="dm")
+    plan = t.scan()._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
