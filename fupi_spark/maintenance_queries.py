@@ -448,6 +448,58 @@ def lakehouse_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_rollback",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_clips,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms,
+       'create>append>append>rollback' AS lineage,
+       true AS time_travel_intact
+FROM read_parquet('{SCRATCH}/rollback_sidecar/*.parquet')
+""",
+)
+def lakehouse_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving rollback: append b1 → append b2 → rollback to
+    the b1 snapshot. The head must read as exactly b1 (audited against
+    an independently-written sidecar of b1), the lineage must show the
+    rollback as a NEW commit (history never rewritten), and time travel
+    to the pre-rollback head must still see b2."""
+    from . import meta as M
+    from .synth import synth_clips
+
+    root = f"{SCRATCH}/rollback"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(f"{SCRATCH}/rollback_sidecar", ignore_errors=True)
+    t = M.create_table(spark, root)
+    b1 = synth_clips(spark, 250, seed=1, dur_range_ms=(50, 100))
+    M.append(t, b1, job_id="b1", parts=3)
+    b1.write.mode("overwrite").parquet(f"{SCRATCH}/rollback_sidecar")
+    target = t.current_snapshot().snapshot_id
+
+    b2 = synth_clips(spark, 120, seed=2, dur_range_ms=(50, 100)).withColumn(
+        "clip_id", F.concat(F.lit("n_"), F.col("clip_id"))
+    )
+    M.append(t, b2, job_id="b2", parts=2)
+    pre_rollback_head = t.current_snapshot().snapshot_id
+    M.rollback(t, target)
+
+    ops = ">".join(s["operation"] for s in t.lineage_chain())
+    # history preserved: the pre-rollback head still time-travels to
+    # the state INCLUDING b2
+    tt = t.scan(snapshot_id=pre_rollback_head).count() == 370
+    return (
+        t.scan()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("clip_id").alias("n_clips"),
+            F.sum("dur_ms").alias("sum_dur_ms"),
+        )
+        .withColumn("lineage", F.lit(ops))
+        .withColumn("time_travel_intact", F.lit(tt))
+    )
+
+
+@register(
     "lakehouse_mor_delete",
     oracle=f"""
 WITH orig AS (SELECT * FROM read_parquet('{SCRATCH}/mor_orig/*.parquet')),
