@@ -194,3 +194,37 @@ def test_mor_scan_plan_stays_map_side(spark, tmp_path):
     plan = t.scan()._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_mor_delete_racing_compaction_stays_applied(spark, tmp_path, monkeypatch):
+    """A delete-mor that commits BETWEEN compaction's write and its
+    commit must still apply to the compacted output: compaction rebases
+    (no input overlap) and its outputs inherit the minimum input
+    sequence, which is strictly below the concurrent delete's — so the
+    deleted keys stay dead in the merged file."""
+    from fupi_spark.compact import compact
+
+    t = make_table(spark, str(tmp_path / "t"), n=200, parts=4)
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    victims = ids[:25]
+    t2 = meta.load_table(spark, t.root)  # the concurrent writer's handle
+
+    orig_commit = meta.Table.commit
+    state = {"injected": False}
+
+    def inject(self, operation, *a, **k):
+        if operation == "compact" and not state["injected"]:
+            state["injected"] = True
+            delete_keys_mor(t2, _keys_df(spark, victims), job_id="race-dm")
+        return orig_commit(self, operation, *a, **k)
+
+    monkeypatch.setattr(meta.Table, "commit", inject)
+    snap = compact(t, target_bytes=1 << 30, job_id="race-c")
+    monkeypatch.setattr(meta.Table, "commit", orig_commit)
+    assert state["injected"] and snap is not None
+
+    # the compact rebased over the delete; the delete still applies
+    del_seq = t.delete_entries()[0]["sequence"]
+    assert all((e.get("sequence") or 0) <= del_seq for e in t.data_entries())
+    assert t.scan().count() == 175
+    assert t.scan().filter(F.col("clip_id").isin(victims)).count() == 0
