@@ -34,10 +34,13 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
 # >=0.8 N->4N criterion, measured under the documented protocol
 # (BENCH/BASELINE.md §2: same job + same input at local[2] vs local[8],
 # fresh OS process per run, interleaved reps, three statistics because
-# single-box noise is bursty and asymmetric). Reported statically here
-# so every BENCH_r{N}.json carries the complete answer; a LIVE
-# re-measurement runs with SPARK_GRAFT_SCALING=1 and lands under
-# result["scaling"].
+# single-box noise is bursty and asymmetric). VERDICT r4 #1: this
+# report is NOT embedded in the driver-contract result line (doing so
+# pushed BENCH_r04.json past the driver's tail-capture window and lost
+# the headline timings) — main() writes it to BENCH/SCALING.json as a
+# separate artifact and the result line carries only that path. A LIVE
+# re-measurement runs with SPARK_GRAFT_SCALING=1 and lands in the same
+# artifact under "live".
 SCALING_REPORT = {
     "criterion": "north rule: >=0.8 throughput scaling efficiency from N to 4N executors",
     "sandbox_proxy": (
@@ -337,6 +340,23 @@ def main() -> None:
     maint["all_rep_totals"] = [m["total_sec"] for m in runs]
     total = round(time.perf_counter() - t0, 3)
 
+    # the static scaling record + full maintenance detail ship as a
+    # SEPARATE artifact; the driver-contract line stays compact so the
+    # tail capture always parses (VERDICT r4 "What's wrong" #1)
+    scaling_path = os.path.join(_REPO_DIR, "BENCH", "SCALING.json")
+    artifact = {"scaling_report": SCALING_REPORT, "maintenance_detail": maint}
+    live_scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        spark.stop()
+        live_scaling = run_scaling(workdir)
+        artifact["live"] = live_scaling
+    try:
+        os.makedirs(os.path.dirname(scaling_path), exist_ok=True)
+        with open(scaling_path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+    except OSError:
+        scaling_path = None  # read-only checkout: the result line still parses
+
     result = {
         "metric": "headline_queries_plus_maintenance_pipeline_sec",
         "value": round(sum(queries.values()) + maint["total_sec"], 3),
@@ -344,13 +364,20 @@ def main() -> None:
         "queries": {**queries, "maintenance_pipeline": maint["total_sec"]},
         "sf": sf,
         "wall_sec_including_reps": total,
-        "maintenance": maint,
-        "scaling_report": SCALING_REPORT,
+        "maintenance": {
+            "stages": maint["stages"],
+            "n_clips": maint["n_clips"],
+            "table_gb": maint["table_gb"],
+            "total_sec": maint["total_sec"],
+            "pipeline_gb_per_s": maint["pipeline_gb_per_s"],
+            "pipeline_clips_per_s": maint["pipeline_clips_per_s"],
+            "reps": reps,
+            "all_rep_totals": maint["all_rep_totals"],
+        },
+        "scaling_artifact": scaling_path,
     }
-
-    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        spark.stop()
-        result["scaling"] = run_scaling(workdir)
+    if live_scaling is not None:
+        result["scaling_efficiency"] = live_scaling["efficiency"]
 
     print(json.dumps(result))
 
