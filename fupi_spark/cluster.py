@@ -317,7 +317,9 @@ def cluster(
 
     n_parts = (len(boundaries) + 1) * max(effective_salt, 1)
     # the rewrite reads through scan() -> outstanding MOR deletes are
-    # APPLIED; removing the delete files here materializes them
+    # APPLIED; removing the delete files here materializes them. The
+    # commit pins the applied delete set (expected_delete_paths): a
+    # delete-mor landing mid-rewrite must conflict, not be resurrected.
     return _write_clustered(
         table, df, n_parts, sort_cols, job_id, entries + dels, total_bytes, base,
         summary={
@@ -326,14 +328,21 @@ def cluster(
             "salt_buckets": effective_salt,
             "deletes_materialized": len(dels),
         },
+        applied_delete_paths={e["file_path"] for e in dels},
     )
 
 
 def _write_clustered(
-    table, df, n_parts, sort_cols, job_id, removed_entries, bytes_in, base, summary
+    table, df, n_parts, sort_cols, job_id, removed_entries, bytes_in, base, summary,
+    applied_delete_paths: set | None = None,
 ) -> Snapshot:
     """Shared rewrite tail: bucket-shuffled sorted write → atomic
-    promote → per-partition lineage → snapshot commit."""
+    promote → per-partition lineage → snapshot commit.
+
+    ``applied_delete_paths``: the MOR delete files whose keys this
+    rewrite already applied (its outputs carry a fresh sequence) — the
+    commit raises CommitConflict if the outstanding delete set changed
+    underneath (meta.Table.commit expected_delete_paths)."""
     staging = table.stage_dir(job_id)
     (
         # _bucket leads the sort so the partitionBy writer's required
@@ -367,6 +376,7 @@ def _write_clustered(
         removed_paths=set(removed),
         base=base,
         summary={**summary, "output_files": added.num_rows},
+        expected_delete_paths=applied_delete_paths,
     )
 
 
@@ -456,6 +466,9 @@ def cluster_incremental(
         ).withColumn("_bucket", _bucket_expr(boundaries) if boundaries else F.lit(0))
         sort_cols = ["_bucket", "_zval", "clip_id"]
 
+    # the churn read goes through _read_files -> outstanding deletes
+    # are applied to the rewritten subset; pin the applied set so a
+    # concurrent delete-mor conflicts instead of being resurrected
     return _write_clustered(
         table, df, len(boundaries) + 1, sort_cols, job_id, entries, new_bytes, base,
         summary={
@@ -465,4 +478,5 @@ def cluster_incremental(
             "rewritten_bytes": new_bytes,
             "untouched_files": len(prev_live & set(table.live_files(base))),
         },
+        applied_delete_paths={e["file_path"] for e in table.delete_entries(base)},
     )

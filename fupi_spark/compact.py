@@ -163,7 +163,7 @@ def compact(
             if table.snapshot(sid_done).summary.get("job_id") == job_id:
                 return None
     entries = table.data_entries(base)
-    dels = table.delete_entries(base)
+    dels = table.delete_key_specs(base)
     # bins NEVER mix schema generations (evolve.py): compaction streams
     # files byte-for-byte, so a bin must be physically homogeneous —
     # pre-evolution files (NULL schema_id == gen 0) pack together,
@@ -178,11 +178,24 @@ def compact(
     # sequence cannot represent both); outputs inherit their inputs'
     # (common-applicability) minimum sequence instead of the committing
     # snapshot's.
+    # A CONSOLIDATED delete file (per-key _del_seq, consolidate_deletes)
+    # straddles data sequences: whether it applies to a given row
+    # depends on that key's own sequence, not the file's single manifest
+    # sequence. Exact applicability is therefore row-level, so any file
+    # a consolidated delete may cover (manifest max-seq >= file seq)
+    # only packs with files of the SAME sequence — min-inheritance then
+    # changes nothing and per-key semantics survive the byte stream.
     def _applicability(e):
         fseq = e.get("sequence") or 0
-        return frozenset(
-            (d.get("sequence") or 0) for d in dels if (d.get("sequence") or 0) >= fseq
+        plain = frozenset(
+            (d.get("sequence") or 0)
+            for d in dels
+            if not d["keyed_seq"] and (d.get("sequence") or 0) >= fseq
         )
+        keyed_covers = any(
+            d["keyed_seq"] and (d.get("sequence") or 0) >= fseq for d in dels
+        )
+        return (plain, fseq if keyed_covers else None)
 
     groups: dict = {}
     for e in entries:

@@ -93,6 +93,19 @@ def dense_ids(
         .withColumn("_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
     )
+    if keys_only:
+        # the join-back multiplies rows k×k for any key appearing k
+        # times (duplicate ids + duplicated payload rows — silent
+        # corruption; ADVICE r4). Fail loudly instead: one keys-only
+        # distinct-count job over the already-checkpointed frame.
+        total = d.count()
+        distinct = d.select(*key_names).distinct().count()
+        if distinct != total:
+            raise ValueError(
+                f"dense_ids: order key {key_names} is not unique "
+                f"({total} rows, {distinct} distinct keys) — append a "
+                "tiebreaker column or pass keys_join=False"
+            )
     counts = {
         r["_pid"]: r["cnt"]
         for r in d.groupBy(F.shiftright("_mid", 33).alias("_pid"))

@@ -80,14 +80,21 @@ def scan_raw_docs(spark: SparkSession, path: str, num_samples: int = 0) -> DataF
     if num_samples > 0:
         df = df.limit(num_samples)
     # deterministic dense ids via the partition-offset scheme (no
-    # single-reducer window; ids.py). Keys-only path: only (date, title)
-    # ride the range shuffle + checkpoint; the text column joins back.
-    # Sound because this source is deterministic across evaluations —
-    # a file scan + filter, and limit() consumes partitions in scan
-    # order (no upstream shuffle/sample).
+    # single-reducer window; ids.py). Keys-only path: only the key
+    # columns ride the range shuffle + checkpoint; the text column
+    # joins back. Sound because this source is deterministic across
+    # evaluations — a file scan + filter, and limit() consumes
+    # partitions in scan order (no upstream shuffle/sample).
+    # (date, title) alone is NOT unique in a real news corpus (ADVICE
+    # r4: two docs sharing both would fan out k×k through the
+    # join-back); a content-hash tiebreaker keeps the key unique —
+    # and, being the LAST order column, it changes nothing when
+    # (date, title) is unique. Full row duplicates still trip
+    # dense_ids' uniqueness check (loudly) — dedup upstream.
     from .ids import dense_ids
 
-    return dense_ids(df, ["date", "title"], "text_id")
+    df = df.withColumn("_tb", F.xxhash64("text"))
+    return dense_ids(df, ["date", "title", "_tb"], "text_id").drop("_tb")
 
 
 # ---------------------------------------------------------------------------

@@ -570,6 +570,109 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_mor_consolidate",
+    oracle=f"""
+WITH orig AS (SELECT * FROM read_parquet('{SCRATCH}/morc_orig/*.parquet')),
+b1 AS (SELECT clip_id FROM read_parquet('{SCRATCH}/morc_b1/*.parquet')),
+d2 AS (SELECT clip_id FROM read_parquet('{SCRATCH}/morc_d2/*.parquet')),
+d3 AS (SELECT clip_id FROM read_parquet('{SCRATCH}/morc_d3/*.parquet')),
+reins AS (SELECT * FROM read_parquet('{SCRATCH}/morc_reins/*.parquet')),
+cons AS (SELECT clip_id, _del_seq
+         FROM read_parquet('{SCRATCH}/morc/data/q-consol-*.parquet')),
+expected AS (
+  SELECT clip_id, 6 AS seq FROM d3
+  UNION ALL
+  SELECT clip_id, 3 FROM b1 WHERE clip_id NOT IN (SELECT clip_id FROM d3)
+  UNION ALL
+  SELECT clip_id, 5 FROM d2
+),
+vis AS (
+  SELECT dur_ms FROM orig
+  WHERE clip_id NOT IN (SELECT clip_id FROM b1)
+    AND clip_id NOT IN (SELECT clip_id FROM d2)
+  UNION ALL
+  SELECT dur_ms FROM reins WHERE clip_id NOT IN (SELECT clip_id FROM d3)
+)
+SELECT CAST((SELECT COUNT(*) FROM vis) AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(dur_ms) FROM vis) AS BIGINT) AS sum_dur_ms,
+       1 AS n_delete_files,
+       CAST((SELECT COUNT(*) FROM cons) AS BIGINT) AS n_keys,
+       CAST((SELECT COUNT(*) FROM expected e
+             LEFT JOIN cons c USING (clip_id)
+             WHERE c._del_seq IS NULL OR c._del_seq <> e.seq) AS BIGINT)
+         AS n_seq_mismatch
+""",
+)
+def lakehouse_mor_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-file maintenance (VERDICT r4 #2): three delete-mor
+    batches with a re-insert AND a re-delete interleaved (so per-key
+    applicable sequences genuinely differ), then consolidate_deletes
+    folds them into ONE per-key-sequence delete file, then GC. The
+    engine reports its scan + manifest metadata; the oracle re-derives
+    the visible set from pre-state sidecars and audits the engine's
+    actual consolidated delete file on disk — every key must carry
+    exactly the max sequence of the delete batches that covered it
+    (collapsing to one file-level sequence would kill the re-inserted
+    keys, and the mismatch column would catch it)."""
+    from . import meta as M
+    from .expire import expire_snapshots
+    from .merge import consolidate_deletes, delete_keys_mor
+    from .synth import synth_clips
+
+    root = f"{SCRATCH}/morc"
+    for d in ("morc", "morc_orig", "morc_b1", "morc_d2", "morc_d3", "morc_reins"):
+        shutil.rmtree(f"{SCRATCH}/{d}", ignore_errors=True)
+    t = M.create_table(spark, root)
+    M.append(t, synth_clips(spark, 300, dur_range_ms=(50, 120), parts=6), job_id="seed")
+    t.scan().write.mode("overwrite").parquet(f"{SCRATCH}/morc_orig")
+
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    b1, d2, d3 = ids[:30], ids[40:70], ids[:5]
+
+    def _kdf(keys, path):
+        kdf = spark.createDataFrame([(k,) for k in keys], "clip_id string")
+        kdf.write.mode("overwrite").parquet(path)
+        return kdf
+
+    s1 = delete_keys_mor(t, _kdf(b1, f"{SCRATCH}/morc_b1"), job_id="q-d1")
+    reins = t.scan(snapshot_id=2).filter(F.col("clip_id").isin(b1[:10]))
+    reins.write.mode("overwrite").parquet(f"{SCRATCH}/morc_reins")
+    M.append(t, reins, job_id="q-re", parts=2)
+    s2 = delete_keys_mor(t, _kdf(d2, f"{SCRATCH}/morc_d2"), job_id="q-d2")
+    s3 = delete_keys_mor(t, _kdf(d3, f"{SCRATCH}/morc_d3"), job_id="q-d3")
+
+    consolidate_deletes(t, job_id="q-consol")
+    expire_snapshots(t, retain_last=1)
+
+    dels = t.delete_entries()
+    n_keys_meta = sum(e["row_count"] for e in dels)
+    # engine-side mismatch audit: read the consolidated file and check
+    # every key against the sequences of the deletes that covered it
+    # (the oracle recomputes the same from sidecars + the deterministic
+    # snapshot ids)
+    exp = {k: s3.snapshot_id for k in d3}
+    for k in b1:
+        exp.setdefault(k, s1.snapshot_id)
+    for k in d2:
+        exp[k] = s2.snapshot_id
+    cons = {
+        r["clip_id"]: r["_del_seq"]
+        for r in spark.read.parquet(f"{t.root}/{dels[0]['file_path']}").collect()
+    }
+    mismatch = sum(1 for k, s in exp.items() if cons.get(k) != s)
+    return (
+        t.scan()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("dur_ms").alias("sum_dur_ms"),
+        )
+        .withColumn("n_delete_files", F.lit(len(dels)))
+        .withColumn("n_keys", F.lit(n_keys_meta).cast("long"))
+        .withColumn("n_seq_mismatch", F.lit(mismatch).cast("long"))
+    )
+
+
+@register(
     "lakehouse_tag_retention",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

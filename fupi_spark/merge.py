@@ -178,6 +178,10 @@ def merge_into(
             return prev  # idempotent re-submission
     spark = table.spark
     base = table.current_snapshot()
+    # the touched-file read below applies the outstanding MOR deletes;
+    # pin that set so a delete-mor landing mid-merge conflicts at
+    # commit instead of having its keys resurrected by our outputs
+    applied_dels = {e["file_path"] for e in table.delete_entries(base)}
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     # recompute the payload checksum for source rows (never trust a
     # caller-supplied _crc against caller-supplied bytes; synth sources
@@ -353,7 +357,14 @@ def merge_into(
         _persisted_source.unpersist()
 
     if default_upsert:
-        n_target = sum(e["row_count"] for e in touched)
+        # manifest row counts include rows an outstanding MOR delete
+        # already removed from the read; with deletes in play the input
+        # size must come from the MOR-filtered frame or the summary
+        # attributes the delete's rows to this merge (ADVICE r4)
+        if applied_dels and touched_paths:
+            n_target = target.count()
+        else:
+            n_target = sum(e["row_count"] for e in touched)
         n_result = sum(added.column("row_count").to_pylist())
         n_inserts = n_result - n_target
         n_matched = src_rows - n_inserts
@@ -374,6 +385,7 @@ def merge_into(
         added,
         removed_paths=set(touched_paths),
         base=base,
+        expected_delete_paths=applied_dels,
         summary={
             "job_id": job_id,
             "keys": keys,
@@ -433,13 +445,21 @@ def delete_where(
     if not touched_paths:
         return base
 
+    applied_dels = {e["file_path"] for e in table.delete_entries(base)}
     log = LineageLog(table, job_id)  # marks the job active pre-write
     target = table._read_files(
         [f"{table.root}/{p}" for p in touched_paths], base
     )
     kept = target.filter(~F.expr(condition))
     added = table.write_datafiles(kept, job_id)
-    n_in = sum(e["row_count"] for e in entries)
+    # manifest arithmetic over-reports when outstanding MOR deletes
+    # already removed rows from the read (they'd be attributed to this
+    # DELETE); with deletes in play, count the MOR-filtered input
+    # instead (one key-column job, only on the MOR path — ADVICE r4)
+    if applied_dels:
+        n_in = target.count()
+    else:
+        n_in = sum(e["row_count"] for e in entries)
     n_out = sum(added.column("row_count").to_pylist())
     for i, e in enumerate(added.to_pylist()):
         log.complete_unit(
@@ -455,6 +475,7 @@ def delete_where(
         added,
         removed_paths=set(touched_paths),
         base=base,
+        expected_delete_paths=applied_dels,
         summary={
             "job_id": job_id,
             "condition": condition,
@@ -464,11 +485,19 @@ def delete_where(
     )
 
 
+#: target keys per delete file: bounds write parallelism for large key
+#: sets (a 10^8-key GDPR sweep writes ~25 files in parallel instead of
+#: one straggler task — VERDICT r4 #5) while keeping small operational
+#: deletes at one file
+KEYS_PER_DELETE_FILE = 4_000_000
+
+
 def delete_keys_mor(
     table: Table,
     keys: DataFrame,
     job_id: str | None = None,
-    key: str = MERGE_KEY,
+    key: str | list[str] = MERGE_KEY,
+    consolidate_after: int | None = None,
 ) -> Snapshot:
     """Merge-on-read equality delete (Iceberg v2 shape): write the key
     set as a DELETE FILE and commit — no data file is touched, so the
@@ -476,12 +505,19 @@ def delete_keys_mor(
     the keys sequence-aware (meta._apply_deletes): the delete applies
     only to data files whose sequence <= the delete's, so re-inserting
     a deleted key later is visible while the old copies stay dead.
+    ``key`` may be a list for composite equality deletes (e.g.
+    ``["text_id", "sentence_id"]`` on the sentence-level table); delete
+    files on different key-column sets coexist (applied one anti-join
+    per set).
 
     The deletes are physically materialized by the next rewrite that
     reads through ``_read_files`` — a full cluster() drops them
     entirely; MERGE/incremental-cluster materialize them for the files
     they rewrite. Compaction keeps them outstanding (it streams bytes)
     and never packs files with different delete-applicability sets.
+    ``consolidate_after``: when set and the outstanding delete-file
+    count afterwards exceeds it, fold them via consolidate_deletes (the
+    delete-count trigger for high-update-rate tables).
 
     This is the high-update-rate counterpart to delete_where's
     copy-on-write: O(keys) now + read-side anti-join until the next
@@ -492,16 +528,27 @@ def delete_keys_mor(
             return prev  # idempotent re-submission
     import pyarrow as pa
 
+    key_cols = [key] if isinstance(key, str) else list(key)
     job_id = job_id or f"delmor-{uuid.uuid4().hex[:8]}"
-    kdf = keys.select(key).distinct()
-    log = LineageLog(table, job_id)  # marks the job active pre-write
-    added = table.write_datafiles(kdf.coalesce(1), job_id)
+    # persist: the frame is consumed twice (count + write) and a
+    # non-deterministic source re-evaluated between them would write a
+    # different key set than the one sized
+    kdf = keys.select(*key_cols).distinct().persist()
+    try:
+        n_keys = kdf.count()
+        parts = max(1, -(-n_keys // KEYS_PER_DELETE_FILE))
+        kdf_out = (
+            kdf.repartition(parts, *key_cols) if parts > 1 else kdf.coalesce(1)
+        )
+        log = LineageLog(table, job_id)  # marks the job active pre-write
+        added = table.write_datafiles(kdf_out, job_id)
+    finally:
+        kdf.unpersist()
     added = added.set_column(
         added.schema.get_field_index("content"),
         "content",
         pa.array(["deletes"] * added.num_rows, type=pa.string()),
     )
-    n_keys = sum(added.column("row_count").to_pylist())
     for i, e in enumerate(added.to_pylist()):
         log.complete_unit(
             i,
@@ -511,8 +558,111 @@ def delete_keys_mor(
             bytes_out=e["byte_size"],
             rows=e["row_count"],
         )
-    return table.commit(
+    snap = table.commit(
         "delete-mor",
         added,
-        summary={"job_id": job_id, "deleted_keys": n_keys, "key": key},
+        summary={"job_id": job_id, "deleted_keys": n_keys, "key": key_cols},
+    )
+    if (
+        consolidate_after is not None
+        and len(table.delete_entries()) > consolidate_after
+    ):
+        consolidate_deletes(table, job_id=f"{job_id}-consol")
+    return snap
+
+
+def consolidate_deletes(
+    table: Table, job_id: str | None = None
+) -> Snapshot | None:
+    """Fold the outstanding MOR equality-delete files into ONE file per
+    key-column set — the delete-file maintenance op (VERDICT r4 #2).
+
+    A high-update-rate table accrues one delete file per delete_keys_mor
+    call; every scan then pays one parquet read per file and carries the
+    whole union. Consolidation rewrites N delete files → 1 without
+    touching any data file: per key, the surviving record carries the
+    MAX applicable sequence as an explicit ``_del_seq`` column (per-key,
+    because collapsing different delete sequences to one file-level
+    sequence would wrongly cover rows re-inserted between them), and
+    the manifest entry's sequence is the group max (the coarse upper
+    bound compaction's applicability grouping uses). Read semantics are
+    bit-identical before and after (tested).
+
+    Returns None when no key set has more than one outstanding file.
+    Reference anchor: Lance folds deletions at compact_files
+    (/root/reference/fupi/embedders.py:127-128); Iceberg ships this as
+    rewrite_position_delete_files."""
+    if job_id is not None:
+        prev = table.committed_snapshot_for_job(job_id)
+        if prev is not None:
+            return prev  # idempotent re-submission
+    import pyarrow as pa
+
+    base = table.current_snapshot()
+    groups: dict[tuple, list[dict]] = {}
+    for e in table.delete_key_specs(base):
+        groups.setdefault(e["key_cols"], []).append(e)
+    todo = {k: v for k, v in sorted(groups.items()) if len(v) > 1}
+    if not todo:
+        return None
+    job_id = job_id or f"consol-{uuid.uuid4().hex[:8]}"
+    log = LineageLog(table, job_id)
+    removed: set[str] = set()
+    added_tables = []
+    unit = 0
+    for key_cols, entries in todo.items():
+        del_df = table._delete_keys_df(list(key_cols), entries)
+        # manifest row counts upper-bound the distinct key count — size
+        # the write without an extra count job
+        est = sum(e["row_count"] for e in entries)
+        parts = max(1, -(-est // KEYS_PER_DELETE_FILE))
+        out = (
+            del_df.repartition(parts, *key_cols) if parts > 1 else del_df.coalesce(1)
+        )
+        added = table.write_datafiles(out, job_id)
+        max_seq = max(int(e.get("sequence") or 0) for e in entries)
+        added = added.set_column(
+            added.schema.get_field_index("content"),
+            "content",
+            pa.array(["deletes"] * added.num_rows, type=pa.string()),
+        )
+        added = added.set_column(
+            added.schema.get_field_index("sequence"),
+            "sequence",
+            pa.array([max_seq] * added.num_rows, type=pa.int64()),
+        )
+        group_removed = [e["file_path"] for e in entries]
+        removed.update(group_removed)
+        for e in added.to_pylist():
+            log.complete_unit(
+                unit,
+                files_in=group_removed if unit == 0 else [],
+                files_out=[e["file_path"]],
+                bytes_in=sum(x["byte_size"] or 0 for x in entries)
+                if unit == 0
+                else 0,
+                bytes_out=e["byte_size"],
+                rows=e["row_count"],
+            )
+            unit += 1
+        added_tables.append(added)
+    merged = (
+        pa.concat_tables(added_tables)
+        if len(added_tables) > 1
+        else added_tables[0]
+    )
+    # input_paths = the consumed delete files: a concurrent rewrite that
+    # materialized (removed) them invalidates this fold → conflict. A
+    # concurrent NEW delete file is untouched and stays outstanding.
+    return table.commit(
+        "consolidate-deletes",
+        merged,
+        removed_paths=removed,
+        base=base,
+        input_paths=set(removed),
+        summary={
+            "job_id": job_id,
+            "consolidated_files": len(removed),
+            "key_sets": [list(k) for k in todo],
+        },
     )

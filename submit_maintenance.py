@@ -11,7 +11,9 @@ Ops:
     pipeline  synth(--clips) → append small files → compact → cluster →
               merge 1% upsert → verify → expire   (the bench workload)
     compact | cluster | cluster-incremental | merge-demo | expire |
-    verify | delete --where <pred> | set-tag/delete-tag --tag <name>
+    verify | delete --where <pred> | set-tag/delete-tag --tag <name> |
+    delete-mor --keys k1,k2,... | consolidate-deletes |
+    wap-append --clips N
               individual maintenance jobs against an existing table;
               --job-id makes retries of a committed job no-ops
 
@@ -37,7 +39,7 @@ def main() -> int:
         choices=[
             "pipeline", "compact", "cluster", "cluster-incremental",
             "merge-demo", "expire", "verify", "delete", "set-tag",
-            "delete-tag",
+            "delete-tag", "delete-mor", "consolidate-deletes", "wap-append",
         ],
     )
     p.add_argument("--clips", type=int, default=2000)
@@ -49,6 +51,15 @@ def main() -> int:
     p.add_argument("--where", help="SQL predicate for --op delete")
     p.add_argument("--tag", help="tag name for --op set-tag / delete-tag")
     p.add_argument("--job-id", help="idempotent job id (retries become no-ops)")
+    p.add_argument("--keys", help="comma-separated key values for --op delete-mor")
+    p.add_argument(
+        "--key-column", default="clip_id", help="key column for --op delete-mor"
+    )
+    p.add_argument(
+        "--consolidate-after",
+        type=int,
+        help="delete-mor: fold delete files when more than N are outstanding",
+    )
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -127,6 +138,42 @@ def main() -> int:
             assert args.tag, "--op delete-tag requires --tag"
             t.delete_tag(args.tag)
             report["tags"] = t.tags()
+        elif args.op == "delete-mor":
+            assert args.keys, "--op delete-mor requires --keys"
+            from fupi_spark.merge import delete_keys_mor
+
+            kdf = spark.createDataFrame(
+                [(k,) for k in args.keys.split(",")], f"{args.key_column} string"
+            )
+            snap = delete_keys_mor(
+                t,
+                kdf,
+                job_id=args.job_id,
+                key=args.key_column,
+                consolidate_after=args.consolidate_after,
+            )
+            report["snapshot"] = snap.snapshot_id
+            report["deleted_keys"] = snap.summary.get("deleted_keys")
+            report["outstanding_delete_files"] = len(t.delete_entries())
+        elif args.op == "consolidate-deletes":
+            from fupi_spark.merge import consolidate_deletes
+
+            snap = consolidate_deletes(t, job_id=args.job_id)
+            report["snapshot"] = snap.snapshot_id if snap else None
+            report["outstanding_delete_files"] = len(t.delete_entries())
+        elif args.op == "wap-append":
+            from fupi_spark.wap import (
+                PUBLISHED_TAG,
+                audited_append,
+                publish_init,
+                snr_audit,
+            )
+
+            if PUBLISHED_TAG not in t.tags():
+                publish_init(t)
+            batch = synth_clips(spark, args.clips, dur_range_ms=(100, 500))
+            r = audited_append(t, batch, snr_audit(), job_id=args.job_id)
+            report["wap"] = r
         elif args.op == "expire":
             report["report"] = expire_snapshots(t, retain_last=args.retain_last)
         elif args.op == "verify":

@@ -1,0 +1,341 @@
+"""Round-5 verdict/advice fixes:
+
+1. delete-resurrection guard — delete-applying rewrites (cluster,
+   merge, delete_where) conflict when a delete-mor lands mid-rewrite
+   (ADVICE r4 high / Iceberg RewriteFiles semantics);
+2. mixed-key delete files are readable (one anti-join per key set);
+3. the delete-key broadcast is byte-gated with an identical-result
+   shuffle fallback (VERDICT r4 #2b);
+4. consolidate_deletes folds N delete files -> 1 per key set with
+   per-key sequences preserved (VERDICT r4 #2a);
+5. WAP rejection removes only the candidate's files — a concurrent
+   commit during the audit survives (ADVICE r4 low / VERDICT r4 #3);
+6. delete_where / merge summaries don't attribute MOR-deleted rows to
+   themselves (ADVICE r4 low);
+7. dense_ids keys-only path rejects non-unique order keys loudly
+   (ADVICE r4 medium);
+8. delete_keys_mor bounds its write parts by key count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fupi_spark import meta
+from fupi_spark.meta import CommitConflict, Table
+from fupi_spark.merge import (
+    consolidate_deletes,
+    delete_keys_mor,
+    delete_where,
+    merge_into,
+)
+from fupi_spark.synth import synth_clips
+
+from .test_meta_compact import make_table
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "clip_id string")
+
+
+def _ids(t):
+    return sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+
+
+def _scan_multiset(t):
+    return sorted(
+        (r.clip_id, r.sr_hz, r.dur_ms, r.codec, r.transcript)
+        for r in t.scan().drop("bytes").collect()
+    )
+
+
+# -- 1. delete-resurrection guard --------------------------------------------
+
+
+def test_commit_conflicts_on_concurrent_mor_delete(spark, tmp_path):
+    """A rewrite that planned against delete set D must raise
+    CommitConflict if the outstanding delete set is no longer D at
+    commit time (delete-mor landed mid-rewrite)."""
+    t = make_table(spark, str(tmp_path / "t"), n=120, parts=3)
+    stale_base = t.current_snapshot()
+    stale_dels = {e["file_path"] for e in t.delete_entries(stale_base)}
+    delete_keys_mor(t, _keys_df(spark, _ids(t)[:10]), job_id="race")
+    with pytest.raises(CommitConflict, match="MOR delete"):
+        t.commit(
+            "cluster",
+            meta._empty_manifest(t.stats_spec),
+            base=stale_base,
+            expected_delete_paths=stale_dels,
+        )
+
+
+def test_merge_conflicts_when_delete_lands_mid_rewrite(spark, tmp_path, monkeypatch):
+    """End-to-end: a delete-mor sneaking in between MERGE's read and its
+    commit must make the MERGE raise, not resurrect the deleted keys."""
+    t = make_table(spark, str(tmp_path / "t"), n=120, parts=3)
+    victims = _ids(t)[:10]
+
+    real_write = Table.write_datafiles
+    fired = {"n": 0}
+
+    def write_then_delete(self, df, job_id, sort_within=None):
+        added = real_write(self, df, job_id, sort_within=sort_within)
+        if job_id == "m-race" and fired["n"] == 0:
+            fired["n"] = 1  # the racing delete commits before merge does
+            delete_keys_mor(t, _keys_df(spark, victims), job_id="sneak")
+        return added
+
+    monkeypatch.setattr(Table, "write_datafiles", write_then_delete)
+    upd = (
+        t.scan()
+        .orderBy("clip_id")
+        .limit(5)
+        .withColumn("transcript", F.concat("transcript", F.lit(" v2")))
+        .cache()
+    )
+    upd.count()
+    with pytest.raises(CommitConflict, match="MOR delete"):
+        merge_into(t, upd, job_id="m-race")
+    monkeypatch.undo()
+    # the delete won: its keys stay dead
+    assert t.scan().filter(F.col("clip_id").isin(victims)).count() == 0
+
+
+# -- 2. mixed-key delete files -----------------------------------------------
+
+
+def test_mixed_key_delete_files_apply_independently(spark, tmp_path):
+    """Outstanding deletes on DIFFERENT key columns (clip_id + codec)
+    each apply; round 4 raised AnalysisException on the second scan."""
+    t = make_table(spark, str(tmp_path / "t"), n=150, parts=3)
+    ids = _ids(t)
+    codecs = sorted(
+        r.codec for r in t.scan().select("codec").distinct().collect()
+    )
+    n_codec0 = t.scan().filter(F.col("codec") == codecs[0]).count()
+    n_id_not_codec0 = (
+        t.scan()
+        .filter(F.col("clip_id").isin(ids[:20]) & (F.col("codec") != codecs[0]))
+        .count()
+    )
+    delete_keys_mor(t, _keys_df(spark, ids[:20]), job_id="d-id")
+    delete_keys_mor(
+        t,
+        spark.createDataFrame([(codecs[0],)], "codec string"),
+        job_id="d-codec",
+        key="codec",
+    )
+    assert t.scan().count() == 150 - n_codec0 - n_id_not_codec0
+    assert t.scan().filter(F.col("clip_id").isin(ids[:20])).count() == 0
+    assert t.scan().filter(F.col("codec") == codecs[0]).count() == 0
+
+
+# -- 3. byte-gated broadcast with identical shuffle fallback ------------------
+
+
+def test_delete_broadcast_gate_and_shuffle_fallback(spark, tmp_path, monkeypatch):
+    t = make_table(spark, str(tmp_path / "t"), n=150, parts=3)
+    victims = _ids(t)[:25]
+    delete_keys_mor(t, _keys_df(spark, victims), job_id="d")
+    broadcast_rows = _scan_multiset(t)
+    plan_b = t.scan()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    monkeypatch.setattr(Table, "DELETE_BROADCAST_MAX_BYTES", 0)
+    shuffle_rows = _scan_multiset(t)
+    assert shuffle_rows == broadcast_rows
+    monkeypatch.undo()
+
+
+# -- 4. consolidate_deletes ---------------------------------------------------
+
+
+def test_consolidate_deletes_preserves_per_key_sequences(spark, tmp_path):
+    """Churn: delete b1 -> re-insert some -> delete b2 -> re-delete a
+    few re-inserts. Consolidation folds 3 delete files into 1 and the
+    scan is bit-identical — in particular the re-inserted-but-not-
+    re-deleted keys stay VISIBLE (a single collapsed max sequence would
+    kill them)."""
+    t = make_table(spark, str(tmp_path / "t"), n=200, parts=4)
+    ids = _ids(t)
+    b1, b2 = ids[:30], ids[40:70]
+    delete_keys_mor(t, _keys_df(spark, b1), job_id="d1")
+    reins = t.scan(snapshot_id=2).filter(F.col("clip_id").isin(b1[:10]))
+    meta.append(t, reins, job_id="re", parts=2)
+    delete_keys_mor(t, _keys_df(spark, b2), job_id="d2")
+    redel = b1[:4]  # re-delete 4 of the 10 re-inserted keys
+    delete_keys_mor(t, _keys_df(spark, redel), job_id="d3")
+    assert len(t.delete_entries()) == 3
+
+    before = _scan_multiset(t)
+    snap = consolidate_deletes(t, job_id="consol")
+    assert snap is not None and snap.operation == "consolidate-deletes"
+    assert len(t.delete_entries()) == 1
+    assert t.delete_key_specs()[0]["keyed_seq"] is True
+    assert _scan_multiset(t) == before
+    # semantics spot-checks: re-inserted-not-re-deleted keys visible...
+    assert (
+        t.scan().filter(F.col("clip_id").isin(b1[4:10])).count() == 6
+    )
+    # ...re-deleted and never-re-inserted keys dead
+    assert t.scan().filter(F.col("clip_id").isin(redel + b1[10:] + b2)).count() == 0
+    # idempotent re-submission
+    assert consolidate_deletes(t, job_id="consol").snapshot_id == snap.snapshot_id
+    # a second fold has nothing to do
+    assert consolidate_deletes(t) is None
+
+
+def test_compact_after_consolidation_keeps_semantics(spark, tmp_path):
+    """Data files with DIFFERENT sequences covered by one consolidated
+    delete file must not be packed into one bin (min-inheritance would
+    over-delete the higher-sequence rows)."""
+    from fupi_spark.compact import compact
+
+    t = make_table(spark, str(tmp_path / "t"), n=200, parts=4)
+    ids = _ids(t)
+    delete_keys_mor(t, _keys_df(spark, ids[:30]), job_id="d1")
+    reins = t.scan(snapshot_id=2).filter(F.col("clip_id").isin(ids[:10]))
+    meta.append(t, reins, job_id="re", parts=2)  # higher-seq re-inserts
+    delete_keys_mor(t, _keys_df(spark, ids[40:60]), job_id="d2")
+    consolidate_deletes(t, job_id="consol")
+    before = _scan_multiset(t)
+
+    snap = compact(t, target_bytes=1 << 30, job_id="c")
+    assert snap is not None
+    assert _scan_multiset(t) == before
+    # the re-inserted keys survived the byte-stream rewrite
+    assert t.scan().filter(F.col("clip_id").isin(ids[:10])).count() == 10
+
+
+def test_delete_count_trigger_consolidates(spark, tmp_path):
+    t = make_table(spark, str(tmp_path / "t"), n=100, parts=2)
+    ids = _ids(t)
+    delete_keys_mor(t, _keys_df(spark, ids[:5]), job_id="a")
+    delete_keys_mor(t, _keys_df(spark, ids[5:10]), job_id="b")
+    delete_keys_mor(
+        t, _keys_df(spark, ids[10:15]), job_id="c", consolidate_after=2
+    )
+    assert len(t.delete_entries()) == 1
+    assert t.scan().count() == 85
+
+
+# -- 5. WAP surgical rejection ------------------------------------------------
+
+
+def test_wap_reject_preserves_concurrent_commit(spark, tmp_path):
+    """An append landing while the audit runs must survive the batch
+    rejection (round 4 rolled the whole head back and wiped it)."""
+    from fupi_spark.synth import with_clip_prefix
+    from fupi_spark.wap import audited_append, publish_init, published_scan
+
+    t = make_table(spark, str(tmp_path / "t"), n=100, parts=2)
+    publish_init(t)
+
+    stranger = with_clip_prefix(
+        synth_clips(spark, 20, seed=5, dur_range_ms=(50, 100)), "s_"
+    )
+
+    def failing_audit_with_interleaved_commit(new_rows):
+        meta.append(t, stranger, job_id="stranger", parts=1)
+        raise ValueError("batch rejected")
+
+    bad = with_clip_prefix(
+        synth_clips(spark, 15, seed=6, dur_range_ms=(50, 100)), "b_"
+    )
+    r = audited_append(
+        t, bad, failing_audit_with_interleaved_commit, job_id="wap-b", parts=1
+    )
+    assert r["published"] is False
+    # the stranger's append survived the rejection...
+    assert t.scan().filter(F.col("clip_id").like("s_%")).count() == 20
+    # ...the rejected batch is gone from the head...
+    assert t.scan().filter(F.col("clip_id").like("b_%")).count() == 0
+    # ...and consumers (publish tag) still see only the seed batch
+    assert published_scan(t).count() == 100
+
+
+def test_wap_reject_conflicts_when_candidate_was_rewritten(spark, tmp_path):
+    """If a concurrent rewrite consumed the candidate's files, surgical
+    removal is impossible — the rejection must raise, not silently
+    leave rejected rows live."""
+    from fupi_spark.compact import compact
+    from fupi_spark.synth import with_clip_prefix
+    from fupi_spark.wap import audited_append, publish_init
+
+    t = make_table(spark, str(tmp_path / "t"), n=100, parts=4)
+    publish_init(t)
+
+    def audit_with_compaction(new_rows):
+        compact(t, target_bytes=1 << 30, job_id="sneaky-compact")
+        raise ValueError("batch rejected")
+
+    bad = with_clip_prefix(
+        synth_clips(spark, 15, seed=6, dur_range_ms=(50, 100)), "b_"
+    )
+    with pytest.raises(CommitConflict, match="WAP reject"):
+        audited_append(t, bad, audit_with_compaction, job_id="wap-b", parts=1)
+
+
+# -- 6. MOR-aware summary counts ---------------------------------------------
+
+
+def test_delete_where_count_excludes_mor_rows(spark, tmp_path):
+    t = make_table(spark, str(tmp_path / "t"), n=200, parts=4)
+    ids = _ids(t)
+    mor_victims = ids[:20]
+    delete_keys_mor(t, _keys_df(spark, mor_victims), job_id="dm")
+    # predicate victims among the still-visible rows only
+    cond_victims = (
+        t.scan().filter(F.expr("dur_ms % 7 = 0")).count()
+    )
+    snap = delete_where(t, "dur_ms % 7 = 0", job_id="dw")
+    assert snap.summary["deleted_rows"] == cond_victims
+
+
+def test_merge_summary_excludes_mor_rows(spark, tmp_path):
+    t = make_table(spark, str(tmp_path / "t"), n=150, parts=3)
+    ids = _ids(t)
+    delete_keys_mor(t, _keys_df(spark, ids[:20]), job_id="dm")
+    upd = (
+        t.scan()
+        .orderBy("clip_id")
+        .limit(10)
+        .withColumn("transcript", F.concat("transcript", F.lit(" v2")))
+        .cache()
+    )
+    upd.count()
+    snap = merge_into(t, upd, job_id="m")
+    assert snap.summary["matched_rows"] == 10
+    assert snap.summary["inserted_rows"] == 0
+
+
+# -- 7. dense_ids uniqueness guard -------------------------------------------
+
+
+def test_dense_ids_rejects_duplicate_keys_on_keys_only_path(spark):
+    from fupi_spark.ids import dense_ids
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, payload int"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        dense_ids(df, ["k"], "id")
+    # unique keys still work
+    out = dense_ids(df.filter("payload != 2"), ["k"], "id")
+    assert sorted((r.k, r.id) for r in out.collect()) == [("a", 1), ("b", 2)]
+
+
+# -- 8. delete-file write parts bounded by key count -------------------------
+
+
+def test_delete_keys_mor_bounds_parts(spark, tmp_path, monkeypatch):
+    import fupi_spark.merge as M
+
+    t = make_table(spark, str(tmp_path / "t"), n=100, parts=2)
+    monkeypatch.setattr(M, "KEYS_PER_DELETE_FILE", 10)
+    delete_keys_mor(t, _keys_df(spark, _ids(t)[:25]), job_id="big")
+    dels = t.delete_entries()
+    assert len(dels) == 3  # ceil(25/10)
+    assert sum(e["row_count"] for e in dels) == 25
+    assert t.scan().count() == 75

@@ -68,3 +68,43 @@ def test_submitted_table_readable(spark, tmp_path):
     assert t.scan().count() == 300
     ops = [s["operation"] for s in t.lineage_chain()]
     assert "merge" in ops
+
+
+def test_submit_mor_wap_ops(spark, tmp_path):
+    """The r5 CLI surface: delete-mor (with the consolidation trigger),
+    consolidate-deletes, and wap-append, each through the real entry
+    point with idempotent job ids."""
+    from fupi_spark import meta
+    from fupi_spark.synth import synth_clips
+
+    table = str(tmp_path / "t3")
+    t = meta.create_table(spark, table)
+    meta.append(t, synth_clips(spark, 120, dur_range_ms=(50, 100), parts=3), job_id="seed")
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+
+    def run(*extra):
+        out = subprocess.run(
+            [os.sys.executable, os.path.join(REPO, "submit_maintenance.py"),
+             "--table", table, *extra],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r1 = run("--op", "delete-mor", "--keys", ",".join(ids[:5]), "--job-id", "dm1")
+    assert r1["deleted_keys"] == 5 and r1["outstanding_delete_files"] == 1
+    # idempotent retry commits nothing new
+    r1b = run("--op", "delete-mor", "--keys", ",".join(ids[:5]), "--job-id", "dm1")
+    assert r1b["snapshot"] == r1["snapshot"]
+    r2 = run("--op", "delete-mor", "--keys", ",".join(ids[5:9]), "--job-id", "dm2")
+    assert r2["outstanding_delete_files"] == 2
+
+    r3 = run("--op", "consolidate-deletes", "--job-id", "cd1")
+    assert r3["snapshot"] is not None and r3["outstanding_delete_files"] == 1
+
+    r4 = run("--op", "wap-append", "--clips", "40", "--job-id", "wap1")
+    assert r4["wap"]["published"] is True
+
+    t = meta.load_table(spark, table)
+    assert t.scan().count() == 120 - 9 + 40
+    assert "published" in t.tags()
