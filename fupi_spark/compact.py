@@ -109,14 +109,30 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
     promoted = [rel for _src, rel in pairs]
     shutil.rmtree(staging, ignore_errors=True)
 
-    new_df = table.spark.read.parquet(*[f"{table.root}/{p}" for p in promoted])
-    # key by basename, not by reconstructed absolute path: Spark reports
-    # its own canonical form of _metadata.file_path, which need not
-    # string-match f"{table.root}/..." under symlinks/relative roots
-    stats = {
-        r["file_path"].rsplit("/", 1)[-1]: r
-        for r in table._file_stats_df(new_df).collect()
-    }
+    # footer-derived stats (meta.footer_file_stats — no data pass) + a
+    # _crc-column-only agg for the checksum; Spark-agg fallback when a
+    # footer lacks stats. Keyed by basename, not reconstructed absolute
+    # path: Spark reports its own canonical _metadata form, which need
+    # not string-match f"{table.root}/..." under symlinks/relative roots
+    fstats = table.footer_file_stats([f"{table.root}/{p}" for p in promoted])
+    if fstats is not None:
+        new_df = table.spark.read.parquet(
+            *[f"{table.root}/{p}" for p in promoted]
+        )
+        crc = table._crc_sums(new_df) or {}
+        stats = {
+            p.rsplit("/", 1)[-1]: {
+                **st,
+                "checksum_bytes": crc.get(p.rsplit("/", 1)[-1]),
+            }
+            for p, st in zip(promoted, fstats)
+        }
+    else:
+        new_df = table.spark.read.parquet(*[f"{table.root}/{p}" for p in promoted])
+        stats = {
+            r["file_path"].rsplit("/", 1)[-1]: r
+            for r in table._file_stats_df(new_df).collect()
+        }
     added_entries = []
     for p in promoted:
         r = stats[p.rsplit("/", 1)[-1]]

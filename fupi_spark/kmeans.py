@@ -42,19 +42,43 @@ def assign_cells(
     df: DataFrame, vec_col: str, centroids: list[list[float]]
 ) -> DataFrame:
     """Append ``cell`` = 0-based argmin over the centroid distances
-    (queries._l2_sql expression text — the same left-associative form
-    the oracles share, so engine and audit arithmetic is bitwise-equal).
+    (queries._l2_col — the zip_with+aggregate left fold, bitwise-equal
+    to the unrolled left-associative SQL sum the oracles share, while
+    keeping the generated code small enough for whole-stage codegen:
+    K unrolled 64-term literal expressions blow janino's method limit).
     Ties break to the LOWEST cell id (array_position returns the first
     minimum) — deterministic on both engines."""
-    from .queries import _l2_sql
+    from .queries import _l2_col
 
-    dists = F.array(
-        *[F.expr(_l2_sql(vec_col, c, "spark")) for c in centroids]
-    )
+    dists = F.array(*[_l2_col(vec_col, c) for c in centroids])
     return df.withColumn(
         "cell",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
     )
+
+
+def update_centroids(
+    assigned: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    round_digits: int = 6,
+) -> list[list[float]]:
+    """One Lloyd update: per-cell coordinate means of an assigned frame
+    (posexplode → groupBy(cell, pos).avg), rounded. Empty cells keep
+    their previous centroid."""
+    means = (
+        assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    )
+    new = [list(c) for c in centroids]
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+    for cell, posmap in by_cell.items():
+        new[cell] = [round(posmap[p], round_digits) for p in range(len(posmap))]
+    return new
 
 
 def kmeans_fit(
@@ -80,19 +104,5 @@ def kmeans_fit(
     ]
     for _ in range(iters):
         assigned = assign_cells(df.select(id_col, vec_col), vec_col, centroids)
-        means = (
-            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]  # empty cells keep position
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        for cell, posmap in by_cell.items():
-            new[cell] = [
-                round(posmap[p], round_digits) for p in range(len(posmap))
-            ]
-        centroids = new
+        centroids = update_centroids(assigned, vec_col, centroids, round_digits)
     return centroids

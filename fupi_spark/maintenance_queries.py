@@ -958,6 +958,149 @@ def lakehouse_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lakehouse_two_table_lifecycle",
+    oracle=f"""
+WITH spre AS (SELECT text_id, sentence_id, sentence
+              FROM read_parquet('{SCRATCH}/twotab_sent_pre/*.parquet')),
+tpre AS (SELECT text_id FROM read_parquet('{SCRATCH}/twotab_text_pre/*.parquet')),
+upd AS (SELECT text_id, sentence_id, sentence
+        FROM read_parquet('{SCRATCH}/twotab_upd/*.parquet')),
+expected AS (
+  SELECT p.text_id, p.sentence_id, COALESCE(u.sentence, p.sentence) AS sentence
+  FROM spre p
+  LEFT JOIN upd u ON u.text_id = p.text_id AND u.sentence_id = p.sentence_id
+  WHERE p.text_id <> 3
+  UNION ALL
+  SELECT u.text_id, u.sentence_id, u.sentence FROM upd u
+  WHERE NOT EXISTS (SELECT 1 FROM spre p
+                    WHERE p.text_id = u.text_id AND p.sentence_id = u.sentence_id)
+),
+sfin AS (SELECT text_id, sentence_id, sentence
+         FROM read_parquet('{SCRATCH}/twotab/wh/sentence_level/data/*.parquet')),
+tfin AS (SELECT text_id, title
+         FROM read_parquet('{SCRATCH}/twotab/wh/text_level/data/*.parquet'))
+SELECT CAST((SELECT COUNT(*) FROM tpre WHERE text_id <> 3) AS BIGINT) AS n_texts,
+       CAST((SELECT COUNT(*) FROM expected) AS BIGINT) AS n_sents,
+       CAST((SELECT COUNT(*) FROM expected WHERE sentence LIKE '% v2') AS BIGINT)
+         AS n_upd_sents,
+       CAST((SELECT COUNT(*) FROM expected WHERE sentence_id = 900001) AS BIGINT)
+         AS n_new_sents,
+       CAST((SELECT COUNT(*) FROM sfin s
+             WHERE s.text_id NOT IN (SELECT text_id FROM tfin)) AS BIGINT)
+         AS n_orphan_sents,
+       CAST((SELECT COUNT(*) FROM sfin WHERE text_id = 3)
+            + (SELECT COUNT(*) FROM tfin WHERE text_id = 3) AS BIGINT)
+         AS n_victim_rows,
+       CAST((SELECT COUNT(*) FROM tfin WHERE title LIKE '% (edited)') AS BIGINT)
+         AS n_title_edited
+""",
+)
+def lakehouse_two_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL data model maintained end-to-end (VERDICT
+    r4 #4; /root/reference/fupi/utils.py:39-49: text-level +
+    sentence-level pair, FK text_id): ingest a corpus into both tables,
+    edit one document — composite-key MERGE on (text_id, sentence_id)
+    updating its sentences and inserting a new one, single-key MERGE
+    retitling its text row — then GDPR-delete another document
+    FK-consistently from BOTH tables, then expire. The oracle
+    re-derives the expected sentence set from pre-state + merge-source
+    sidecars and audits the engine's actual post-op table bytes:
+    correct updates/insert, zero victim rows anywhere, and zero
+    orphaned sentences (every sentence's text_id resolves)."""
+    import os
+
+    from . import ingest
+    from .expire import expire_snapshots
+    from .merge import delete_where, merge_into
+
+    root = f"{SCRATCH}/twotab"
+    for d in ("twotab", "twotab_sent_pre", "twotab_text_pre", "twotab_upd"):
+        shutil.rmtree(f"{SCRATCH}/{d}", ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    jsonl = f"{root}/docs.jsonl.gz"
+    ingest.write_raw_docs_jsonl(jsonl, 40)
+    t_text, t_sent = ingest.ingest_corpus(spark, jsonl, f"{root}/wh", num_samples=30)
+
+    t_sent.scan().select("text_id", "sentence_id", "sentence").write.mode(
+        "overwrite"
+    ).parquet(f"{SCRATCH}/twotab_sent_pre")
+    t_text.scan().select("text_id").write.mode("overwrite").parquet(
+        f"{SCRATCH}/twotab_text_pre"
+    )
+
+    # edit doc 2: update every sentence + insert a new one (embedding
+    # columns carried from an existing row — the lifecycle under test
+    # is the table maintenance, not the embedder)
+    updates = t_sent.scan().filter("text_id = 2").withColumn(
+        "sentence", F.concat("sentence", F.lit(" v2"))
+    )
+    new_row = (
+        t_sent.scan()
+        .filter("text_id = 2")
+        .orderBy("sentence_id")
+        .limit(1)
+        .withColumn("sentence_id", F.lit(900001).cast("long"))
+        .withColumn("sentence", F.lit("a brand new sentence. v2"))
+    )
+    upd = updates.unionByName(new_row).cache()
+    upd.count()
+    upd.select("text_id", "sentence_id", "sentence").write.mode(
+        "overwrite"
+    ).parquet(f"{SCRATCH}/twotab_upd")
+    merge_into(
+        t_sent, upd, keys=["text_id", "sentence_id"], job_id="q-sent-merge"
+    )
+    upd_t = (
+        t_text.scan()
+        .filter("text_id = 2")
+        .withColumn("title", F.concat("title", F.lit(" (edited)")))
+        .cache()
+    )
+    upd_t.count()
+    merge_into(t_text, upd_t, keys=["text_id"], job_id="q-text-merge")
+
+    # FK-consistent document delete across both tables
+    delete_where(t_sent, "text_id = 3", job_id="q-del-sent")
+    delete_where(t_text, "text_id = 3", job_id="q-del-text")
+    expire_snapshots(t_sent, retain_last=1)
+    expire_snapshots(t_text, retain_last=1)
+
+    sents = t_sent.scan()
+    texts = t_text.scan()
+    orphans = sents.join(texts.select("text_id"), "text_id", "left_anti").count()
+    return (
+        sents.agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(F.when(F.col("sentence").like("% v2"), 1).otherwise(0)).alias(
+                "n_upd_sents"
+            ),
+            F.sum(F.when(F.col("sentence_id") == 900001, 1).otherwise(0)).alias(
+                "n_new_sents"
+            ),
+            F.sum(F.when(F.col("text_id") == 3, 1).otherwise(0)).alias(
+                "_victim_sents"
+            ),
+        )
+        .withColumn("n_texts", F.lit(texts.count()).cast("long"))
+        .withColumn("n_orphan_sents", F.lit(orphans).cast("long"))
+        .withColumn(
+            "n_victim_rows",
+            (
+                F.col("_victim_sents")
+                + F.lit(texts.filter("text_id = 3").count())
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_title_edited",
+            F.lit(texts.filter(F.col("title").like("% (edited)")).count()).cast(
+                "long"
+            ),
+        )
+        .drop("_victim_sents")
+    )
+
+
 # deterministic at import time: the stub embedder is seeded (dim 16)
 _E2E_QVEC = embed_query("quick brown fox")
 

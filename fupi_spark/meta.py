@@ -701,18 +701,98 @@ class Table:
         if not self.storage.list(f"_lineage/{job_id}"):
             self.storage.put(f"_lineage/{job_id}/.job", b"")
 
+    #: past this many files the footer-stat reads fan out over the
+    #: cluster (mapInPandas over the path list) instead of a driver loop
+    FOOTER_DRIVER_MAX = 4096
+
+    def footer_file_stats(self, paths: list[str]) -> list[dict] | None:
+        """Per-file (row_count, min/max) manifest stats folded from the
+        parquet FOOTERS — no data pass (VERDICT r4 #6 / the builder's
+        own BENCH/BASELINE.md §5 idea: the staged stats job was ~2-4 s
+        of every append's fixed cost; footers already hold exact
+        row-group min/max for the stats columns). Returns one dict per
+        path (same order), or None when any footer lacks a usable
+        statistic — callers fall back to the Spark aggregation, so this
+        is purely an optimization, never a correctness dependence.
+
+        Scale: a driver loop up to FOOTER_DRIVER_MAX files; past that
+        the footer reads run as a mapInPandas over the path list, so a
+        10^5-file append reads footers executor-parallel and ships only
+        the tiny stat records back."""
+        if len(paths) <= self.FOOTER_DRIVER_MAX:
+            out = [_footer_stats_one(local_path(p), self.stats_cols) for p in paths]
+        else:
+            cols = list(self.stats_cols)
+            pdf = self.spark.createDataFrame([(p,) for p in paths], "p string")
+
+            def run(it):
+                import pandas as pd
+
+                for chunk in it:
+                    recs = []
+                    for p in chunk["p"]:
+                        s = _footer_stats_one(local_path(p), cols)
+                        recs.append(json.dumps({"p": p, "s": s}))
+                    yield pd.DataFrame({"rec": recs})
+
+            by_path = {}
+            for r in pdf.mapInPandas(run, schema="rec string").collect():
+                d = json.loads(r["rec"])
+                by_path[d["p"]] = d["s"]
+            out = [by_path.get(p) for p in paths]
+        if any(o is None for o in out):
+            return None
+        return out
+
+    def _crc_sums(self, df: DataFrame) -> dict[str, int] | None:
+        """Per-file payload checksum sums, reading ONLY the 8-byte
+        ``_crc`` column (parquet column pruning) — the one stat footers
+        cannot provide. None when the table has no payload column."""
+        from .integrity import CRC_COL
+
+        if CRC_COL not in df.columns:
+            return None
+        rows = (
+            df.select(F.col("_metadata.file_name").alias("f"), F.col(CRC_COL))
+            .groupBy("f")
+            .agg(F.sum(CRC_COL).alias("s"))
+            .collect()
+        )
+        return {r["f"]: r["s"] for r in rows}
+
     def _promote_staging(self, staging: str, job_id: str) -> pa.Table:
-        # per-file stats: one distributed agg over the staged files
-        stats = self._file_stats_df(self.spark.read.parquet(staging)).collect()
+        # per-file stats from the staged parquet FOOTERS (+ one
+        # _crc-column-only agg for the checksum); full-scan fallback if
+        # any footer lacks stats
+        staged = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        fstats = self.footer_file_stats([f"{staging}/{f}" for f in staged])
+        if fstats is not None:
+            crc = self._crc_sums(self.spark.read.parquet(staging)) or {}
+            ordered = []
+            for f, st in zip(staged, fstats):
+                ordered.append(
+                    {
+                        "file_path": f"{staging}/{f}",
+                        "checksum_bytes": crc.get(f),
+                        **st,
+                    }
+                )
+        else:
+            stats = self._file_stats_df(self.spark.read.parquet(staging)).collect()
+            ordered = sorted(
+                ({**r.asDict(), "file_path": local_path(r["file_path"])} for r in stats),
+                key=lambda r: r["file_path"],
+            )
         self.mark_job_active(job_id)
         self.storage.ensure_dir("data")
         entries = []
         # per-attempt nonce: a job-id reuse must never rename over a
         # live data file of an earlier run
         nonce = uuid.uuid4().hex[:6]
-        ordered = sorted(stats, key=lambda r: r["file_path"])
         pairs = [
-            (local_path(r["file_path"]), f"data/{job_id}-{nonce}-{i:05d}.parquet")
+            (r["file_path"], f"data/{job_id}-{nonce}-{i:05d}.parquet")
             for i, r in enumerate(ordered)
         ]
         self.storage.promote_many(pairs)
@@ -896,6 +976,41 @@ class Table:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def _footer_stats_one(path: str, stats_cols: list[str]) -> dict | None:
+    """(row_count, min/max per stats column) from ONE parquet footer.
+    None when a needed statistic is absent/unusable (caller falls back
+    to the Spark aggregation). A stats column missing from the file's
+    schema (schema evolution) folds to NULL min/max — unbounded, the
+    same contract the Spark agg produces; all-null chunks are skipped.
+    Exactness note: parquet-mr/arrow write full (untruncated) row-group
+    chunk statistics for these short string/int columns by default, so
+    footer min/max are exact bounds, not approximations."""
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    rec: dict = {"row_count": md.num_rows}
+    for c in stats_cols:
+        if c not in names:
+            rec[f"min_{c}"] = None
+            rec[f"max_{c}"] = None
+            continue
+        mins: list = []
+        maxs: list = []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(names[c])
+            st = col.statistics
+            if st is None:
+                return None
+            if not st.has_min_max:
+                if st.null_count == md.row_group(rg).num_rows:
+                    continue  # all-null chunk contributes no bound
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+        rec[f"min_{c}"] = min(mins) if mins else None
+        rec[f"max_{c}"] = max(maxs) if maxs else None
+    return rec
 
 
 def _manifest_arrow_fields(stats_spec: list[tuple[str, pa.DataType]]) -> list[pa.Field]:

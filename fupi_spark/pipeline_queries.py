@@ -883,35 +883,24 @@ ORDER BY vec_id
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: block vectors by sign-plane LSH, then
     drop every vector with an EARLIER in-block neighbor at cosine >=
-    0.3 (greedy keep-first by vec_id — deterministic, order-free). The
-    plan is an equi-join on the block id + a codegen cosine filter with
-    per-vector precomputed norms: no Python in the hot path, candidates
-    proportional to collisions, pair cost = one dot product.
-    At 10^12 rows the same shape runs over ann.py's stored banded LSH
-    index (more planes, multi-probe) with AQE skew-splitting the hot
-    buckets; every float expression is shared TEXT with the DuckDB
-    oracle, so both engines compute bitwise-equal doubles."""
+    0.3 (greedy keep-first by vec_id — deterministic, order-free).
+    The plan comes from ann.cosine_neardup_drops — the SAME code the
+    stored multi-band index path uses at 10^12 rows (more planes,
+    hot-bucket cap, tests/test_ann.py drives it over a persisted
+    skewed index; VERDICT r4 #7) — here parameterized with the 4-bit
+    sign-plane block: an equi-join on the block id + a codegen cosine
+    fold with per-vector precomputed norms, no Python in the hot path,
+    candidates proportional to collisions. The fold is bitwise-equal
+    to the oracle's unrolled left-associative SQL (the _l2_col
+    property), so both engines compute identical doubles."""
+    from .ann import cosine_neardup_drops
+
     emb = load(spark, sf_dir, "embeddings")
     e = emb.selectExpr(
-        "vec_id",
-        "embedding",
-        f"{_blk_sql('embedding', 'spark')} AS blk",
-        f"SQRT({_dot_sql_pair('embedding', 'embedding', 'spark')}) AS nrm",
+        "vec_id", "embedding", f"{_blk_sql('embedding', 'spark')} AS blk"
     )
-    a = e.select(
-        F.col("vec_id").alias("aid"), F.col("embedding").alias("ea"),
-        "blk", F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("bid"), F.col("embedding").alias("eb"),
-        "blk", F.col("nrm").alias("nb"),
-    )
-    dropped = (
-        a.join(b, "blk")
-        .where(F.col("bid") < F.col("aid"))
-        .where(F.expr(_cos_cond("ea", "eb", "na", "nb", "spark")))
-        .select(F.col("aid").alias("vec_id"))
-        .distinct()
+    dropped, _report = cosine_neardup_drops(
+        e, "vec_id", "embedding", ["blk"], tau=0.3
     )
     return dropped.orderBy("vec_id")
 
@@ -1010,6 +999,143 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             F.floor(F.col("_d") * 10000).cast("bigint").alias("distance_e4"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with TRAINED centroids (VERDICT r4 #5): the distributed k-means
+# trainer (kmeans.py, pure groupBy-agg Lloyd) feeds the same
+# cell/probe/rerank plan as ann_ivf_topk. The oracle audits the
+# engine's written index artifacts: assignments must be a true argmin
+# against the stored centroids (recomputed in DuckDB's arithmetic),
+# the one-step-updated centroids must be the exact per-cell means of
+# the assignment, and the probed top-k must match a recomputation over
+# the artifact cells with the shared-text rerank distance.
+# ---------------------------------------------------------------------------
+
+_KM_SCRATCH = "/tmp/fupi_spark_ivfk"
+_KM_K = 4
+_KM_QV_VALUES = ", ".join(
+    f"({i}, CAST({q!r} AS DOUBLE))" for i, q in enumerate(QUERY_VEC)
+)
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=f"""
+WITH a AS (SELECT vec_id, cell FROM read_parquet('{_KM_SCRATCH}/assign/*.parquet')),
+cen AS (SELECT cell, pos, val, val_next
+        FROM read_parquet('{_KM_SCRATCH}/centroids/*.parquet')),
+ex AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+              generate_subscripts(embedding, 1) - 1 AS pos
+       FROM embeddings),
+dists AS (
+  SELECT ex.vec_id, cen.cell, SUM((ex.v - cen.val) * (ex.v - cen.val)) AS d
+  FROM ex JOIN cen USING (pos)
+  GROUP BY ex.vec_id, cen.cell
+),
+best AS (SELECT vec_id, MIN(d) AS dmin FROM dists GROUP BY vec_id),
+mism AS (
+  SELECT COUNT(*) AS n
+  FROM a
+  JOIN dists dd ON dd.vec_id = a.vec_id AND dd.cell = a.cell
+  JOIN best b ON b.vec_id = a.vec_id
+  WHERE dd.d > b.dmin
+),
+cmeans AS (
+  SELECT a.cell, ex.pos, ROUND(AVG(ex.v), 6) AS m
+  FROM a JOIN ex ON ex.vec_id = a.vec_id
+  GROUP BY a.cell, ex.pos
+),
+cmism AS (
+  SELECT COUNT(*) AS n
+  FROM cmeans
+  JOIN cen ON cen.cell = cmeans.cell AND cen.pos = cmeans.pos
+  WHERE cen.val_next <> cmeans.m
+),
+qv AS (SELECT * FROM (VALUES {_KM_QV_VALUES}) AS t(pos, q)),
+qd AS (
+  SELECT cell, SUM((val - q) * (val - q)) AS d
+  FROM cen JOIN qv USING (pos) GROUP BY cell
+),
+probes AS (SELECT cell FROM qd ORDER BY d ASC, cell ASC LIMIT 2),
+topk AS (
+  SELECT e.vec_id, {_l2_sql('embedding', QUERY_VEC, 'duck')} AS dist
+  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+  WHERE a.cell IN (SELECT cell FROM probes)
+  ORDER BY dist ASC, e.vec_id ASC LIMIT 10
+)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_vecs,
+       CAST((SELECT COUNT(DISTINCT cell) FROM a) AS BIGINT) AS n_cells_used,
+       CAST((SELECT n FROM mism) AS BIGINT) AS assign_mismatch,
+       CAST((SELECT n FROM cmism) AS BIGINT) AS centroid_mismatch,
+       (SELECT STRING_AGG(CAST(vec_id AS VARCHAR), ',' ORDER BY dist ASC, vec_id ASC)
+        FROM topk) AS topk_ids,
+       CAST((SELECT SUM(CAST(FLOOR(dist * 10000) AS BIGINT)) FROM topk) AS BIGINT)
+         AS topk_dist_sum_e4
+""",
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED coarse centroids: 3 Lloyd iterations (lowest-id
+    init, groupBy-agg updates, 6-decimal rounding for cross-engine
+    determinism), then the standard probe-2-cells + exact-rerank plan.
+    The engine writes its index artifacts — (vec_id, cell) assignments
+    and (cell, pos, val=assignment centroid, val_next=one-step-updated
+    mean) — and reports zeros for the two audit columns; the oracle
+    recomputes the argmin and the means FROM THE ARTIFACTS in DuckDB
+    and must agree, and independently re-derives the probed top-k. At
+    10^12 rows: train on a sample, final assign is one scan, cell is a
+    partition column (see ann_ivf_topk for the probe plan notes)."""
+    import shutil as _sh
+
+    from .kmeans import assign_cells, kmeans_fit, update_centroids
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, "embedding", "vec_id", _KM_K, iters=3)
+    assigned = assign_cells(emb, "embedding", cents)
+    cents_next = update_centroids(assigned, "embedding", cents)
+
+    _sh.rmtree(_KM_SCRATCH, ignore_errors=True)
+    assigned.select("vec_id", "cell").write.mode("overwrite").parquet(
+        f"{_KM_SCRATCH}/assign"
+    )
+    cen_rows = [
+        (cell, pos, cents[cell][pos], cents_next[cell][pos])
+        for cell in range(_KM_K)
+        for pos in range(len(cents[cell]))
+    ]
+    spark.createDataFrame(
+        cen_rows, "cell int, pos int, val double, val_next double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_KM_SCRATCH}/centroids")
+
+    qdist = [
+        sum((q - c) ** 2 for q, c in zip(QUERY_VEC, cen)) for cen in cents
+    ]
+    probes = sorted(sorted(range(_KM_K), key=lambda j: (qdist[j], j))[:2])
+    top = (
+        assigned.filter(F.col("cell").isin(probes))
+        .withColumn("_d", _l2_col("embedding", QUERY_VEC))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "_d")
+        .collect()
+    )
+    import math as _m
+
+    n_vecs = emb.count()
+    n_cells = assigned.select("cell").distinct().count()
+    row = (
+        n_vecs,
+        n_cells,
+        0,
+        0,
+        ",".join(str(r["vec_id"]) for r in top),
+        sum(int(_m.floor(r["_d"] * 10000)) for r in top),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_vecs long, n_cells_used long, assign_mismatch long, "
+        "centroid_mismatch long, topk_ids string, topk_dist_sum_e4 long",
     )
 
 
