@@ -385,3 +385,66 @@ def test_footer_stats_match_spark_agg(spark, tmp_path):
     lo = sorted(r.clip_id for r in t1.scan().select("clip_id").collect())[10]
     df, _read, _tot = t1.scan_pruned("clip_id", lo, "zzzz")
     assert df.count() == t1.scan().filter(F.col("clip_id") >= lo).count()
+
+
+def test_reconsolidation_after_more_churn(spark, tmp_path):
+    """Fold → more deletes land → fold again: the second consolidation
+    must merge the keyed file with the new plain files, still one
+    outstanding file, semantics intact."""
+    t = make_table(spark, str(tmp_path / "t"), n=150, parts=3)
+    ids = _ids(t)
+    delete_keys_mor(t, _keys_df(spark, ids[:10]), job_id="a")
+    delete_keys_mor(t, _keys_df(spark, ids[10:20]), job_id="b")
+    consolidate_deletes(t, job_id="c1")
+    # churn continues: re-insert two victims, then delete more keys
+    reins = t.scan(snapshot_id=2).filter(F.col("clip_id").isin(ids[:2]))
+    meta.append(t, reins, job_id="re", parts=1)
+    delete_keys_mor(t, _keys_df(spark, ids[20:30]), job_id="d")
+    before = _scan_multiset(t)
+    assert len(t.delete_entries()) == 2
+    consolidate_deletes(t, job_id="c2")
+    assert len(t.delete_entries()) == 1
+    assert _scan_multiset(t) == before
+    assert t.scan().filter(F.col("clip_id").isin(ids[:2])).count() == 2
+    assert t.scan().filter(F.col("clip_id").isin(ids[2:30])).count() == 0
+
+
+def test_ivf_cell_is_partition_prunable(spark, tmp_path):
+    """The IVF scale claim (pipeline_queries.ann_ivf_kmeans docstring):
+    'cell is a partition column, the probe is partition pruning'.
+    Prove it on the engine's own table format: commit vectors with a
+    cell stats column, cluster so files are cell-pure, and scan_pruned
+    on the probe cell must read a strict subset of files."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fupi_spark.kmeans import assign_cells, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(scale=4.0, size=(4, 16))
+    rows = [
+        (i, (centers[i % 4] + rng.normal(size=16)).tolist()) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, "embedding", "vec_id", 4, iters=2)
+    celled = assign_cells(df, "embedding", cents).withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+
+    t = meta.create_table(
+        spark,
+        str(tmp_path / "ivf"),
+        stats_spec=[("cell", pa.int64()), ("vec_id", pa.int64())],
+    )
+    # hash-partition BY CELL before the append: each cell's rows land in
+    # one task → one file, so per-file [min_cell, max_cell] is tight
+    meta.append(
+        t,
+        celled.repartition(8, "cell"),
+        job_id="seed",
+        sort_within=["cell", "vec_id"],
+    )
+    probe_df, files_read, files_total = t.scan_pruned("cell", 2, 2)
+    assert files_total >= 2
+    assert files_read < files_total, "cell probe must skip files"
+    assert probe_df.count() == celled.filter("cell = 2").count()
