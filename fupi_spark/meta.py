@@ -560,24 +560,33 @@ class Table:
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
     ) -> DataFrame:
         """Rows appended between two snapshots (Iceberg-style
-        incremental append scan — the changelog-consumption primitive
+        incremental APPEND scan — the changelog-consumption primitive
         for downstream pipelines): the scan covers exactly the data
-        files added in (from, to]. Only valid across append snapshots;
-        a replacing operation in the range (compact/cluster/merge)
-        carries old rows into new files, so a file-level changelog
-        would double-count — raises ValueError, callers re-baseline."""
+        files added in (from, to]. Valid across append snapshots and
+        metadata-only delete ops (delete-mor / consolidate-deletes
+        never move a row between data files): the changelog emits the
+        appended rows as visible at ``to`` — the read goes through the
+        delete-aware reader, so a row appended then MOR-deleted inside
+        the range is not emitted. A replacing operation
+        (compact/cluster/merge/delete/rollback) carries old rows into
+        new files, so a file-level changelog would double-count —
+        raises ValueError, callers re-baseline."""
         to_id = to_snapshot_id or self.current_snapshot().snapshot_id
         for i in self.snapshot_ids():
             if from_snapshot_id < i <= to_id:
                 op = self.snapshot(i).operation
-                if op not in ("append", "create"):
+                if op not in ("append", "create", "delete-mor", "consolidate-deletes"):
                     raise ValueError(
                         f"incremental scan crosses a '{op}' snapshot (v{i}); "
                         "file-level changelog is append-only — re-baseline"
                     )
         before = set(self.live_files(self.snapshot(from_snapshot_id)))
-        after = self.live_files(self.snapshot(to_id))
-        added = [p for p in after if p not in before]
+        added = [
+            e["file_path"]
+            for e in self.manifest_entries(self.snapshot(to_id)).to_pylist()
+            if e["file_path"] not in before
+            and (e.get("content") or "data") == "data"
+        ]
         if not added:
             return self.spark.createDataFrame([], self.scan(to_id).schema)
         return self._drop_internal(

@@ -448,3 +448,68 @@ def test_ivf_cell_is_partition_prunable(spark, tmp_path):
     assert files_total >= 2
     assert files_read < files_total, "cell probe must skip files"
     assert probe_df.count() == celled.filter("cell = 2").count()
+
+
+def test_incremental_scan_crosses_metadata_only_delete_ops(spark, tmp_path):
+    """delete-mor / consolidate-deletes never move rows between data
+    files, so the incremental append scan stays valid across them —
+    emitting appended rows AS VISIBLE at `to` (a row appended then
+    MOR-deleted inside the range is not emitted). Replacing ops still
+    raise."""
+    from fupi_spark.compact import compact
+
+    t = make_table(spark, str(tmp_path / "t"), n=100, parts=2)
+    base = t.current_snapshot().snapshot_id
+    ids = _ids(t)
+    batch = synth_clips(spark, 30, seed=8, dur_range_ms=(50, 100))
+    from fupi_spark.synth import with_clip_prefix
+
+    batch = with_clip_prefix(batch, "n_")
+    meta.append(t, batch, job_id="b", parts=1)
+    new_ids = sorted(
+        r.clip_id for r in t.scan().filter(F.col("clip_id").like("n_%")).select("clip_id").collect()
+    )
+    # MOR-delete 5 old keys + 3 of the NEW batch inside the range
+    delete_keys_mor(t, _keys_df(spark, ids[:5] + new_ids[:3]), job_id="dm")
+    consolidate_deletes(t, job_id="c")  # no-op (1 file) or fold — either way metadata-only
+    delete_keys_mor(t, _keys_df(spark, new_ids[3:5]), job_id="dm2")
+    consolidate_deletes(t, job_id="c2")
+
+    inc = t.incremental_scan(base)
+    got = sorted(r.clip_id for r in inc.select("clip_id").collect())
+    assert got == new_ids[5:]  # appended minus the range's deletes
+    # a replacing op still invalidates the changelog
+    compact(t, target_bytes=1 << 30, job_id="cp")
+    with pytest.raises(ValueError, match="compact"):
+        t.incremental_scan(base)
+
+
+def test_consolidation_racing_new_delete_keeps_it_outstanding(
+    spark, tmp_path, monkeypatch
+):
+    """A delete-mor landing while consolidation runs must survive the
+    fold: consolidation removes only the files it consumed, and the
+    stranger delete still applies afterwards."""
+    t = make_table(spark, str(tmp_path / "t"), n=120, parts=3)
+    ids = _ids(t)
+    delete_keys_mor(t, _keys_df(spark, ids[:10]), job_id="a")
+    delete_keys_mor(t, _keys_df(spark, ids[10:20]), job_id="b")
+
+    real_write = Table.write_datafiles
+    fired = {"n": 0}
+
+    def write_then_sneak(self, df, job_id, sort_within=None):
+        added = real_write(self, df, job_id, sort_within=sort_within)
+        if job_id == "consol-race" and fired["n"] == 0:
+            fired["n"] = 1
+            delete_keys_mor(t, _keys_df(spark, ids[20:25]), job_id="sneak")
+        return added
+
+    monkeypatch.setattr(Table, "write_datafiles", write_then_sneak)
+    snap = consolidate_deletes(t, job_id="consol-race")
+    monkeypatch.undo()
+    assert snap is not None
+    # the consolidated file AND the stranger's delete file are live
+    assert len(t.delete_entries()) == 2
+    assert t.scan().count() == 120 - 25
+    assert t.scan().filter(F.col("clip_id").isin(ids[:25])).count() == 0
