@@ -228,3 +228,21 @@ def test_mor_delete_racing_compaction_stays_applied(spark, tmp_path, monkeypatch
     assert all((e.get("sequence") or 0) <= del_seq for e in t.data_entries())
     assert t.scan().count() == 175
     assert t.scan().filter(F.col("clip_id").isin(victims)).count() == 0
+
+
+def test_mor_scan_plan_one_read_per_delete_group(spark, tmp_path):
+    """r5: N outstanding same-key delete files are read in ONE parquet
+    scan (r4 built one plan node per file — plan bloat at thousands of
+    delete files). Plan shape: exactly 2 parquet scans total (data +
+    the grouped delete read)."""
+    t = make_table(spark, str(tmp_path / "t"), n=150, parts=3)
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    for i in range(3):
+        delete_keys_mor(
+            t, _keys_df(spark, ids[i * 10 : (i + 1) * 10]), job_id=f"d{i}"
+        )
+    assert len(t.delete_entries()) == 3
+    plan = t.scan()._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 2, f"expected 2 parquet scans (data + deletes), got {n_scans}"
+    assert t.scan().count() == 120

@@ -1,6 +1,7 @@
 """Randomized maintenance-op sequences vs a pandas model of table
 content — the whole engine (append / compact / cluster / merge-update /
-merge-delete / expire / rollback) must preserve or transform the row
+merge-delete / mor-delete / consolidate-deletes / expire / rollback)
+must preserve or transform the row
 multiset exactly as the model does, with every live file present after
 every step."""
 
@@ -138,6 +139,9 @@ def test_random_op_sequence_matches_model(spark, tmp_table_dir, seed):
         "merge_delete": merge_delete,
         "delete_where": delete_where_op,
         "mor_delete": mor_delete_op,
+        "consolidate": lambda: __import__("fupi_spark.merge", fromlist=["x"]).consolidate_deletes(
+            t, job_id=f"cd{rng.randint(0, 99999)}"
+        ),
         "tag": tag_op,
         "expire": lambda: expire_snapshots(t, retain_last=rng.randint(1, 3)),
         "rollback": rollback_one,
