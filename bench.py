@@ -64,6 +64,17 @@ SCALING_REPORT = {
             "the r3 engine, so the non-scaling share grew again (Amdahl)"
         ),
         "run_E_20k_r5_engine_min": {"t_2": 111.8, "t_8": 83.8, "eff": 0.334},
+        "run_E2_20k_r5_quiet_min": {"t_2": 88.2, "t_8": 42.4, "eff": 0.520},
+        "run_E2_20k_r5_median_pair_ratio": {"eff": 0.496},
+        "run_E2_20k_r5_stage_min_composite": {"eff": 0.525},
+        "run_E2_note": (
+            "r5 engine retry, 3 interleaved reps in a quieter window: "
+            "local[8] back to its stable regime (42.4/50.7/62.1 s), "
+            "local[2] 88.2-151.9 s; all three statistics land at 0.50-0.53 "
+            "- squarely inside the documented 0.45-0.69 band between the "
+            "0.46 bare-I/O floor and the 0.87 compute ceiling, confirming "
+            "no r5 scaling regression"
+        ),
         "run_E_note": (
             "r5 engine, 2 interleaved reps in a sustained host burst that "
             "this time hit the local[8] level (ingest 57.8 s vs its ~23 s "

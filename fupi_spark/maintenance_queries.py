@@ -959,6 +959,49 @@ def lakehouse_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_audio",
+    oracle=f"""
+SELECT MIN(clip_id) AS keeper, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM read_parquet('{SCRATCH}/aud_dedup_sidecar/*.parquet')
+GROUP BY bytes
+ORDER BY keeper
+""",
+)
+def dedup_exact_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY-payload dedup — the audio-modality counterpart of
+    the text exact dedup (task brief): group by md5 of the raw clip
+    bytes (computed JVM-side, 16-byte shuffle key — the right plan at
+    10^12 clips where the payload must never ride the shuffle), keep
+    the lowest clip_id per payload. Planted duplicates: every
+    dur_ms%4==0 clip re-appears under a 'dup_' id with byte-identical
+    payload. The oracle needs no shared hash at all — DuckDB groups by
+    the payload BYTES themselves over the sidecar, so a Spark md5
+    collision or truncation bug would show as a row-count/keeper
+    mismatch."""
+    from .synth import synth_clips
+
+    sidecar = f"{SCRATCH}/aud_dedup_sidecar"
+    shutil.rmtree(sidecar, ignore_errors=True)
+    base = synth_clips(spark, 200, seed=21, dur_range_ms=(50, 120), parts=4)
+    dupes = base.filter("dur_ms % 4 = 0").withColumn(
+        "clip_id", F.concat(F.lit("dup_"), F.col("clip_id"))
+    )
+    allc = base.unionByName(dupes)
+    allc.select("clip_id", "dur_ms", "bytes").write.mode("overwrite").parquet(
+        sidecar
+    )
+    return (
+        allc.groupBy(F.md5("bytes").alias("_h"))
+        .agg(
+            F.min("clip_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper", "n_copies")
+        .orderBy("keeper")
+    )
+
+
+@register(
     "lakehouse_two_table_lifecycle",
     oracle=f"""
 WITH spre AS (SELECT text_id, sentence_id, sentence

@@ -51,3 +51,30 @@ def test_update_centroids_are_means(spark):
     for cell in sorted(pdf["cell"].unique()):
         m = np.mean(np.stack(pdf[pdf.cell == cell]["embedding"].to_numpy()), axis=0)
         assert nxt[cell] == [round(float(x), 6) for x in m]
+
+
+def test_ivf_kmeans_recall_floor(spark, sf_dir):
+    """Trained-IVF probe recall@10 vs brute force on the driver
+    embeddings — structureless synthetic vectors put a natural ceiling
+    on 2-of-4-cell probing (measured: 0.7 at sf0.001, 0.3 at sf0.01 —
+    deterministic per dataset); the floor pins against regressions in
+    the trainer or the probe selection."""
+    import duckdb
+
+    from fupi_spark import pipeline_queries  # noqa: F401 (registers entries)
+    from fupi_spark import queries as Q
+
+    row = Q.QUERIES["ann_ivf_kmeans"](spark, sf_dir).collect()[0]
+    got = set(row.topk_ids.split(","))
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    ids = np.array([str(r[0]) for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    d2 = ((m - np.array(Q.QUERY_VEC)) ** 2).sum(axis=1)
+    true10 = set(ids[np.lexsort((ids, d2))[:10]])
+    recall = len(true10 & got) / 10
+    assert row.assign_mismatch == 0 and row.centroid_mismatch == 0
+    assert recall >= 0.3, f"ivf-kmeans recall {recall}"
