@@ -36,9 +36,21 @@ def stream_clips_into_table(
     checkpoint_dir: str,
     max_files_per_trigger: int = 16,
     available_now: bool = True,
+    audit_fn=None,
+    publish_tag: str | None = None,
 ):
     """Incrementally append parquet clip files landing in ``source_dir``
-    into ``table``; one snapshot per micro-batch."""
+    into ``table``; one snapshot per micro-batch.
+
+    ``audit_fn``: when given, each micro-batch goes through
+    Write-Audit-Publish instead of a bare append (wap.audited_append):
+    the batch's rows are audited in isolation, consumers reading via
+    the publish tag never see a bad batch, and a rejected batch's files
+    are surgically removed (r5 WAP semantics — interleaved commits
+    survive). The job-id short-circuit below covers BOTH outcomes: a
+    redelivered batch whose append snapshot already exists in the chain
+    (published or rejected) is skipped, keeping the sink exactly-once
+    under checkpoint replay."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         job_id = f"stream-b{batch_id:08d}"
@@ -49,7 +61,15 @@ def stream_clips_into_table(
         }
         if job_id in committed:
             return
-        meta.append(table, batch_df, job_id=job_id)
+        if audit_fn is None:
+            meta.append(table, batch_df, job_id=job_id)
+            return
+        from .wap import PUBLISHED_TAG, audited_append, publish_init
+
+        tag = publish_tag or PUBLISHED_TAG
+        if tag not in table.tags():
+            publish_init(table, tag)
+        audited_append(table, batch_df, audit_fn, job_id=job_id, tag=tag)
 
     reader = (
         spark.readStream.schema(CLIPS_SCHEMA)

@@ -246,3 +246,39 @@ def test_mor_scan_plan_one_read_per_delete_group(spark, tmp_path):
     n_scans = plan.count("Scan parquet")
     assert n_scans == 2, f"expected 2 parquet scans (data + deletes), got {n_scans}"
     assert t.scan().count() == 120
+
+
+def test_consolidation_on_object_store_without_rename(spark, tmp_path, monkeypatch):
+    """Delete-file consolidation + GC of the folded files on the
+    S3-semantics storage with os.rename forbidden."""
+    from fupi_spark.expire import expire_snapshots
+    from fupi_spark.merge import consolidate_deletes
+    from fupi_spark.storage import ObjectStoreStorage
+
+    root = str(tmp_path / "obj")
+    st = ObjectStoreStorage(root)
+    t = meta.create_table(spark, root, storage=st)
+    meta.append(t, synth_clips(spark, 120, dur_range_ms=(50, 90), parts=3), job_id="s")
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+
+    real_rename = os.rename
+
+    def forbidden(*a, **kw):
+        raise AssertionError(f"os.rename called on object-store table: {a}")
+
+    try:
+        monkeypatch.setattr(os, "rename", forbidden)
+        delete_keys_mor(t, _keys_df(spark, ids[:10]), job_id="a")
+        delete_keys_mor(t, _keys_df(spark, ids[10:20]), job_id="b")
+        old_delete_paths = [e["file_path"] for e in t.delete_entries()]
+        consolidate_deletes(t, job_id="c")
+        assert len(t.delete_entries()) == 1
+        assert t.scan().count() == 100
+        expire_snapshots(t, retain_last=1)
+    finally:
+        monkeypatch.setattr(os, "rename", real_rename)
+    # the folded delete files are orphans -> GC'd; the survivor lives
+    for p in old_delete_paths:
+        assert not os.path.exists(f"{root}/{p}")
+    assert os.path.exists(f"{root}/{t.delete_entries()[0]['file_path']}")
+    assert t.scan().count() == 100

@@ -148,3 +148,64 @@ def test_streaming_into_maintenance_e2e(spark, tmp_path):
     expected = model.reset_index().sort_values("clip_id").reset_index(drop=True)
     assert got["clip_id"].tolist() == expected["clip_id"].tolist()
     assert got["transcript"].tolist() == expected["transcript"].tolist()
+
+
+def test_streaming_wap_audited_ingest(spark, tmp_path):
+    """Streaming + Write-Audit-Publish (r5): each micro-batch is
+    audited before the publish tag advances — a corrupted batch in the
+    middle of the stream is rejected (its files surgically removed)
+    while the batches around it publish; consumers through the tag
+    never see a bad row; an availableNow re-run replays nothing."""
+    import numpy as np
+
+    from fupi_spark.synth import with_clip_prefix
+    from fupi_spark.wap import published_scan, snr_audit
+
+    src = str(tmp_path / "landing3")
+    ckpt = str(tmp_path / "ckpt3")
+    t = meta.create_table(spark, str(tmp_path / "table3"))
+
+    g1 = with_clip_prefix(synth_clips(spark, 40, seed=1, dur_range_ms=(50, 90)), "g1_")
+    g2 = with_clip_prefix(synth_clips(spark, 30, seed=2, dur_range_ms=(50, 90)), "g2_")
+    bad_src = with_clip_prefix(synth_clips(spark, 20, seed=3, dur_range_ms=(50, 90)), "bb_")
+
+    def corrupt_all(it):
+        for pdf in it:
+            bufs = []
+            for b in pdf["bytes"]:
+                arr = bytearray(b)
+                body = np.frombuffer(arr, dtype=np.uint8, offset=44).copy()
+                arr[44:] = (body ^ 0x55).tobytes()
+                bufs.append(bytes(arr))
+            pdf = pdf.copy()
+            pdf["bytes"] = bufs
+            yield pdf
+
+    bad = bad_src.mapInPandas(corrupt_all, schema=bad_src.schema)
+    g1.coalesce(1).write.parquet(f"{src}/f1")
+    bad.coalesce(1).write.parquet(f"{src}/f2")
+    g2.coalesce(1).write.parquet(f"{src}/f3")
+
+    stream_clips_into_table(
+        spark,
+        f"{src}/*",
+        t,
+        ckpt,
+        max_files_per_trigger=1,
+        audit_fn=snr_audit(),
+    )
+
+    from pyspark.sql import functions as F
+
+    pub = published_scan(t)
+    assert pub.filter(F.col("clip_id").like("bb_%")).count() == 0
+    assert pub.filter(F.col("clip_id").like("g1_%")).count() == 40
+    assert pub.filter(F.col("clip_id").like("g2_%")).count() == 30
+    # the rejected rows are gone from the HEAD too (files removed)
+    assert t.scan().filter(F.col("clip_id").like("bb_%")).count() == 0
+    # replay: no new snapshots on a no-new-files re-run
+    v = t.current_snapshot().snapshot_id
+    stream_clips_into_table(
+        spark, f"{src}/*", t, ckpt, max_files_per_trigger=1, audit_fn=snr_audit()
+    )
+    assert t.current_snapshot().snapshot_id == v
