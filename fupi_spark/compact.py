@@ -38,7 +38,7 @@ from dataclasses import dataclass
 from pyspark.sql import functions as F
 
 from .lineage import LineageLog
-from .meta import Snapshot, Table, entries_to_arrow, local_path
+from .meta import Snapshot, Table, entries_to_arrow
 
 
 @dataclass
@@ -109,30 +109,15 @@ def promote_partition_dirs(table: Table, staging: str, job_id: str, part_col: st
     promoted = [rel for _src, rel in pairs]
     shutil.rmtree(staging, ignore_errors=True)
 
-    # footer-derived stats (meta.footer_file_stats — no data pass) + a
-    # _crc-column-only agg for the checksum; Spark-agg fallback when a
-    # footer lacks stats. Keyed by basename, not reconstructed absolute
-    # path: Spark reports its own canonical _metadata form, which need
-    # not string-match f"{table.root}/..." under symlinks/relative roots
-    fstats = table.footer_file_stats([f"{table.root}/{p}" for p in promoted])
-    if fstats is not None:
-        new_df = table.spark.read.parquet(
-            *[f"{table.root}/{p}" for p in promoted]
-        )
-        crc = table._crc_sums(new_df) or {}
-        stats = {
-            p.rsplit("/", 1)[-1]: {
-                **st,
-                "checksum_bytes": crc.get(p.rsplit("/", 1)[-1]),
-            }
-            for p, st in zip(promoted, fstats)
-        }
-    else:
-        new_df = table.spark.read.parquet(*[f"{table.root}/{p}" for p in promoted])
-        stats = {
-            r["file_path"].rsplit("/", 1)[-1]: r
-            for r in table._file_stats_df(new_df).collect()
-        }
+    # footer-derived stats + _crc-only checksum agg with Spark-agg
+    # fallback — one shared implementation (meta._stats_for_files).
+    # Keyed by basename, not reconstructed absolute path: Spark reports
+    # its own canonical _metadata form, which need not string-match
+    # f"{table.root}/..." under symlinks/relative roots
+    full_paths = [f"{table.root}/{p}" for p in promoted]
+    stats = table._stats_for_files(
+        full_paths, table.spark.read.parquet(*full_paths)
+    )
     added_entries = []
     for p in promoted:
         r = stats[p.rsplit("/", 1)[-1]]

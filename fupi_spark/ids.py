@@ -96,15 +96,20 @@ def dense_ids(
     if keys_only:
         # the join-back multiplies rows k×k for any key appearing k
         # times (duplicate ids + duplicated payload rows — silent
-        # corruption; ADVICE r4). Fail loudly instead: one keys-only
-        # distinct-count job over the already-checkpointed frame.
-        total = d.count()
-        distinct = d.select(*key_names).distinct().count()
-        if distinct != total:
+        # corruption; ADVICE r4). Fail loudly instead: ONE aggregation
+        # job over the already-checkpointed key frame (count +
+        # countDistinct together — merge.py's source validation shape).
+        # countDistinct skips null-key rows, which also cannot survive
+        # the join-back — so they fail here too, loudly.
+        v = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*key_names).alias("u"),
+        ).collect()[0]
+        if v["n"] != v["u"]:
             raise ValueError(
                 f"dense_ids: order key {key_names} is not unique "
-                f"({total} rows, {distinct} distinct keys) — append a "
-                "tiebreaker column or pass keys_join=False"
+                f"({v['n']} rows, {v['u']} distinct non-null keys) — "
+                "append a tiebreaker column or pass keys_join=False"
             )
     counts = {
         r["_pid"]: r["cnt"]

@@ -470,10 +470,19 @@ def delete_where(
             bytes_out=e["byte_size"],
             rows=e["row_count"],
         )
+    # an un-pruned delete rewrites EVERY data file with the outstanding
+    # MOR deletes applied — every output carries a fresh (higher)
+    # sequence, so the delete files become permanently inert: retire
+    # them here (like cluster() does) instead of leaving every later
+    # scan to pay their read + anti-join forever. A pruned delete may
+    # leave untouched files the deletes still cover, so it keeps them.
+    removed = set(touched_paths)
+    if prune is None:
+        removed |= applied_dels
     return table.commit(
         "delete",
         added,
-        removed_paths=set(touched_paths),
+        removed_paths=removed,
         base=base,
         expected_delete_paths=applied_dels,
         summary={
@@ -633,13 +642,16 @@ def consolidate_deletes(
         )
         group_removed = [e["file_path"] for e in entries]
         removed.update(group_removed)
-        for e in added.to_pylist():
+        for i, e in enumerate(added.to_pylist()):
+            # inputs recorded on each GROUP's first unit (a global
+            # first-unit gate would drop every later key set's inputs
+            # from the provenance record)
             log.complete_unit(
                 unit,
-                files_in=group_removed if unit == 0 else [],
+                files_in=group_removed if i == 0 else [],
                 files_out=[e["file_path"]],
                 bytes_in=sum(x["byte_size"] or 0 for x in entries)
-                if unit == 0
+                if i == 0
                 else 0,
                 bytes_out=e["byte_size"],
                 rows=e["row_count"],

@@ -769,6 +769,27 @@ class Table:
         )
         return {r["f"]: r["s"] for r in rows}
 
+    def _stats_for_files(self, paths: list[str], df: DataFrame) -> dict[str, dict]:
+        """Per-file stats entries keyed by BASENAME: footer fold +
+        _crc-only checksum agg, Spark-aggregation fallback when any
+        footer lacks a usable statistic. One implementation shared by
+        append promotion and partition-dir promotion (compact.py) so
+        the two paths can't drift."""
+        fstats = self.footer_file_stats(paths)
+        if fstats is not None:
+            crc = self._crc_sums(df) or {}
+            return {
+                p.rsplit("/", 1)[-1]: {
+                    **st,
+                    "checksum_bytes": crc.get(p.rsplit("/", 1)[-1]),
+                }
+                for p, st in zip(paths, fstats)
+            }
+        return {
+            r["file_path"].rsplit("/", 1)[-1]: r.asDict()
+            for r in self._file_stats_df(df).collect()
+        }
+
     def _promote_staging(self, staging: str, job_id: str) -> pa.Table:
         # per-file stats from the staged parquet FOOTERS (+ one
         # _crc-column-only agg for the checksum); full-scan fallback if
@@ -776,24 +797,12 @@ class Table:
         staged = sorted(
             f for f in os.listdir(staging) if f.endswith(".parquet")
         )
-        fstats = self.footer_file_stats([f"{staging}/{f}" for f in staged])
-        if fstats is not None:
-            crc = self._crc_sums(self.spark.read.parquet(staging)) or {}
-            ordered = []
-            for f, st in zip(staged, fstats):
-                ordered.append(
-                    {
-                        "file_path": f"{staging}/{f}",
-                        "checksum_bytes": crc.get(f),
-                        **st,
-                    }
-                )
-        else:
-            stats = self._file_stats_df(self.spark.read.parquet(staging)).collect()
-            ordered = sorted(
-                ({**r.asDict(), "file_path": local_path(r["file_path"])} for r in stats),
-                key=lambda r: r["file_path"],
-            )
+        stats = self._stats_for_files(
+            [f"{staging}/{f}" for f in staged], self.spark.read.parquet(staging)
+        )
+        ordered = [
+            {**stats[f], "file_path": f"{staging}/{f}"} for f in staged
+        ]
         self.mark_job_active(job_id)
         self.storage.ensure_dir("data")
         entries = []
@@ -994,8 +1003,11 @@ def _footer_stats_one(path: str, stats_cols: list[str]) -> dict | None:
     schema (schema evolution) folds to NULL min/max — unbounded, the
     same contract the Spark agg produces; all-null chunks are skipped.
     Exactness note: parquet-mr/arrow write full (untruncated) row-group
-    chunk statistics for these short string/int columns by default, so
-    footer min/max are exact bounds, not approximations."""
+    chunk statistics for these short string/int columns by default; and
+    even when a writer truncates long binary stats, parquet's contract
+    keeps them SOUND bounds (truncated max is rounded up), so pruning
+    never over-skips — only value-parity with a full aggregation could
+    differ, which the fallback covers for exotic specs."""
     md = pq.ParquetFile(path).metadata
     names = {md.schema.column(i).path: i for i in range(md.num_columns)}
     rec: dict = {"row_count": md.num_rows}
@@ -1015,6 +1027,10 @@ def _footer_stats_one(path: str, stats_cols: list[str]) -> dict | None:
                 if st.null_count == md.row_group(rg).num_rows:
                     continue  # all-null chunk contributes no bound
                 return None
+            if not isinstance(st.min, (str, int)) or not isinstance(
+                st.max, (str, int)
+            ):
+                return None  # exotic stat type (binary/date spec) → fallback
             mins.append(st.min)
             maxs.append(st.max)
         rec[f"min_{c}"] = min(mins) if mins else None

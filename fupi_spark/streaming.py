@@ -54,19 +54,34 @@ def stream_clips_into_table(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         job_id = f"stream-b{batch_id:08d}"
-        # idempotence: if this batch already committed (failure between
-        # commit and checkpoint advance), skip the re-delivery
-        committed = {
-            s["summary"].get("job_id") for s in table.lineage_chain()
-        }
-        if job_id in committed:
+        prev = table.committed_snapshot_for_job(job_id)
+        if prev is not None and audit_fn is None:
+            # idempotence: the batch already committed (failure between
+            # commit and checkpoint advance) — skip the re-delivery
             return
         if audit_fn is None:
             meta.append(table, batch_df, job_id=job_id)
             return
-        from .wap import PUBLISHED_TAG, audited_append, publish_init
+        from .wap import PUBLISHED_TAG, audited_append, publish_init, resolve_candidate
 
         tag = publish_tag or PUBLISHED_TAG
+        if prev is not None:
+            # committed but possibly UNRESOLVED (crash between the
+            # append commit and the audit): a plain skip would leave
+            # never-audited rows that the NEXT batch's publish exposes
+            # through the tag. Resolved = a rejection commit names this
+            # snapshot, or the tag already advanced to/past it (sink
+            # completion is serial, so a later tag implies this batch
+            # finished). Otherwise resume the audit now.
+            rejected = any(
+                s["summary"].get("wap_rejected_snapshot") == prev.snapshot_id
+                for s in table.lineage_chain()
+            )
+            tag_at = table.tags().get(tag)
+            if rejected or (tag_at is not None and tag_at >= prev.snapshot_id):
+                return
+            resolve_candidate(table, prev, audit_fn, tag=tag)
+            return
         if tag not in table.tags():
             publish_init(table, tag)
         audited_append(table, batch_df, audit_fn, job_id=job_id, tag=tag)

@@ -66,10 +66,26 @@ def audited_append(
     audit_error, rows_in_batch}.
     """
     job_id = job_id or f"wap-{uuid.uuid4().hex[:8]}"
-    base = table.current_snapshot()
     snap = meta.append(table, df, job_id=job_id, parts=parts)
-    cand_files = set(table.live_files(snap)) - set(table.live_files(base))
-    new_rows = table.incremental_scan(base.snapshot_id, snap.snapshot_id)
+    return resolve_candidate(table, snap, audit_fn, tag=tag)
+
+
+def resolve_candidate(
+    table: meta.Table, snap, audit_fn, tag: str = PUBLISHED_TAG
+) -> dict:
+    """Audit a committed candidate snapshot's OWN rows — exactly
+    (parent, snap], never a pre-append head diff: the append may have
+    rebased over a concurrent commit, and diffing against the
+    pre-append head would pull that stranger's files into the audit
+    scope and (on rejection) remove them — then publish or reject.
+
+    Separately callable so a job that crashed between the append
+    commit and the audit can be RESUMED (streaming redelivery): the
+    candidate must never stay half-resolved, or a later publish would
+    expose its unaudited rows through the tag."""
+    parent = table.snapshot(snap.parent_id)
+    cand_files = set(table.live_files(snap)) - set(table.live_files(parent))
+    new_rows = table.incremental_scan(parent.snapshot_id, snap.snapshot_id)
     try:
         audit_fn(new_rows)
     except Exception as e:  # noqa: BLE001 — ANY audit failure rejects
@@ -80,7 +96,11 @@ def audited_append(
             "audit_error": str(e),
             "rows_in_batch": None,
         }
-    table.set_tag(tag, snap.snapshot_id)
+    # never regress the publish pointer: a resumed resolve of an old
+    # candidate only advances the tag if it is still behind
+    current_tag = table.tags().get(tag)
+    if current_tag is None or current_tag < snap.snapshot_id:
+        table.set_tag(tag, snap.snapshot_id)
     return {
         "snapshot_id": snap.snapshot_id,
         "published": True,
@@ -113,12 +133,17 @@ def _reject_candidate(table: meta.Table, snap, cand_files: set[str]) -> None:
         )
     from .meta import _empty_manifest
 
+    # input_paths=cand_files closes the TOCTOU window: a rewrite that
+    # consumes the candidate's files between the check above and the
+    # commit claim makes the rebase validation raise CommitConflict
+    # instead of the removal silently no-op'ing while the rejected rows
+    # live on inside the rewrite's output
     table.commit(
         "rollback",
         _empty_manifest(table.stats_spec),
         removed_paths=cand_files,
         base=current,
-        input_paths=set(),
+        input_paths=set(cand_files),
         summary={"wap_rejected_snapshot": snap.snapshot_id},
     )
 

@@ -513,3 +513,107 @@ def test_consolidation_racing_new_delete_keeps_it_outstanding(
     assert len(t.delete_entries()) == 2
     assert t.scan().count() == 120 - 25
     assert t.scan().filter(F.col("clip_id").isin(ids[:25])).count() == 0
+
+
+def test_wap_audit_scope_excludes_commit_during_write(spark, tmp_path, monkeypatch):
+    """A commit landing WHILE the candidate's files are being written
+    (the append rebases onto it) must stay out of the audit scope and
+    survive the rejection — the candidate diffs against its actual
+    parent, not the pre-append head (r5 review fix)."""
+    from fupi_spark.synth import with_clip_prefix
+    from fupi_spark.wap import audited_append, publish_init, published_scan
+
+    t = make_table(spark, str(tmp_path / "t"), n=80, parts=2)
+    publish_init(t)
+    stranger = with_clip_prefix(
+        synth_clips(spark, 20, seed=5, dur_range_ms=(50, 100)), "s_"
+    )
+
+    real_write = Table.write_datafiles
+    fired = {"n": 0}
+
+    def write_then_stranger(self, df, job_id, sort_within=None):
+        added = real_write(self, df, job_id, sort_within=sort_within)
+        if job_id == "wap-b" and fired["n"] == 0:
+            fired["n"] = 1  # stranger commits before the candidate does
+            meta.append(t, stranger, job_id="stranger", parts=1)
+        return added
+
+    monkeypatch.setattr(Table, "write_datafiles", write_then_stranger)
+    seen_rows = {}
+
+    def failing_audit(new_rows):
+        seen_rows["n"] = new_rows.count()
+        seen_rows["strangers"] = new_rows.filter(
+            F.col("clip_id").like("s_%")
+        ).count()
+        raise ValueError("reject")
+
+    bad = with_clip_prefix(
+        synth_clips(spark, 15, seed=6, dur_range_ms=(50, 100)), "b_"
+    )
+    r = audited_append(t, bad, failing_audit, job_id="wap-b", parts=1)
+    monkeypatch.undo()
+    assert r["published"] is False
+    # the audit saw ONLY the candidate's rows...
+    assert seen_rows == {"n": 15, "strangers": 0}
+    # ...and the stranger's commit survived the rejection
+    assert t.scan().filter(F.col("clip_id").like("s_%")).count() == 20
+    assert t.scan().filter(F.col("clip_id").like("b_%")).count() == 0
+    from fupi_spark.wap import published_scan as _ps
+
+    assert _ps(t).count() == 80
+
+
+def test_streaming_wap_resumes_unaudited_batch(spark, tmp_path):
+    """Crash between a streaming batch's append commit and its audit:
+    the redelivery must RESOLVE the batch (re-audit → reject here), not
+    skip it — a plain job-id skip would let the next publish expose the
+    never-audited rows through the tag (r5 review fix)."""
+    import numpy as np
+
+    from fupi_spark.streaming import stream_clips_into_table
+    from fupi_spark.synth import with_clip_prefix
+    from fupi_spark.wap import publish_init, published_scan, snr_audit
+
+    t = make_table(spark, str(tmp_path / "t"), n=60, parts=2)
+    publish_init(t)
+    tag_before = t.resolve_tag("published")
+
+    bad_src = with_clip_prefix(
+        synth_clips(spark, 15, seed=3, dur_range_ms=(50, 90)), "bb_"
+    )
+
+    def corrupt_all(it):
+        for pdf in it:
+            bufs = []
+            for b in pdf["bytes"]:
+                arr = bytearray(b)
+                body = np.frombuffer(arr, dtype=np.uint8, offset=44).copy()
+                arr[44:] = (body ^ 0x55).tobytes()
+                bufs.append(bytes(arr))
+            pdf = pdf.copy()
+            pdf["bytes"] = bufs
+            yield pdf
+
+    bad = bad_src.mapInPandas(corrupt_all, schema=bad_src.schema).cache()
+    bad.count()
+    # simulate the crash: the batch-0 append committed, audit never ran
+    meta.append(t, bad, job_id="stream-b00000000", parts=1)
+    assert t.scan().filter(F.col("clip_id").like("bb_%")).count() == 15
+
+    # the same rows land in the stream source; a fresh checkpoint
+    # redelivers them as batch 0
+    src = str(tmp_path / "landing")
+    bad.coalesce(1).write.parquet(src)
+    stream_clips_into_table(
+        spark, src, t, str(tmp_path / "ckpt"), audit_fn=snr_audit()
+    )
+    # resolved: rejected, files removed, tag never advanced
+    assert t.scan().filter(F.col("clip_id").like("bb_%")).count() == 0
+    assert t.resolve_tag("published") == tag_before
+    assert published_scan(t).count() == 60
+    assert any(
+        s["summary"].get("wap_rejected_snapshot") is not None
+        for s in t.lineage_chain()
+    )
