@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from fupi_spark import queries as Q
 from fupi_spark import pipeline_queries  # noqa: F401  (registers entries)
 from fupi_spark import maintenance_queries  # noqa: F401  (rows-only entries)
+from fupi_spark import asof  # noqa: F401  (as-of / range join entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
