@@ -22,13 +22,17 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import _l2_sql, register
 from .search import embed_query
 
-SCRATCH = "/tmp/fupi_spark_mq"
+# per-process scratch (oracle SQL embeds the path at import; a pytest
+# run and a concurrent driver sweep must not clobber each other)
+SCRATCH = f"/tmp/fupi_spark_mq_{os.getpid()}"
 
 
 def _fresh(spark: SparkSession, name: str, n: int, parts: int):

@@ -20,6 +20,8 @@ brute-force Jaccard join is band-limited the same way.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -747,6 +749,71 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k subtotal combinations). Spark expands
+    grouping sets map-side (one Expand node, one shuffle) — the same
+    single-shuffle cost as a plain groupBy times the set count."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@register("approx_distinct_hll")
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type, emitted
+    alongside the exact count with the relative error and its rsd-derived
+    bound (3·rsd ≈ 3σ). No oracle_sql on purpose: Spark's HLL++ sketch
+    and DuckDB's approx_count_distinct are different estimators, so
+    cross-engine hash equality is undefined — the driver records the
+    rows-only check and the in-row `within_bound` column (asserted
+    all-true in tests/test_asof.py) carries the accuracy contract.
+    Scale note: the sketch is a fixed-size map-side state (no distinct
+    shuffle of raw values) — THE reason to prefer it over countDistinct
+    at 10^12 rows."""
+    rsd = 0.05
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ),
+        )
+        .withColumn("within_bound", F.col("rel_err") <= F.lit(3 * rsd))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "set_ops_sources",
     oracle="""
 SELECT source FROM (
@@ -1013,7 +1080,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the artifact cells with the shared-text rerank distance.
 # ---------------------------------------------------------------------------
 
-_KM_SCRATCH = "/tmp/fupi_spark_ivfk"
+# per-process scratch: the oracle SQL (built at import) and the Spark
+# write both live in this process, and concurrent harnesses (pytest +
+# a driver sweep) must not clobber each other's artifacts
+_KM_SCRATCH = f"/tmp/fupi_spark_ivfk_{_os.getpid()}"
 _KM_K = 4
 _KM_QV_VALUES = ", ".join(
     f"({i}, CAST({q!r} AS DOUBLE))" for i, q in enumerate(QUERY_VEC)

@@ -102,3 +102,18 @@ def test_range_join_band_boundary_straddle(spark):
         band_seconds=600,
     )
     assert [(r["lid"], r["val"]) for r in pairs.collect()] == [(1, 7.0)]
+
+
+def test_approx_distinct_within_bound(spark):
+    from fupi_spark.pipeline_queries import approx_distinct_hll
+
+    rows = approx_distinct_hll(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["within_bound"] for r in rows), rows
+
+
+def test_agg_cube_oracle(spark):
+    from fupi_spark.queries import ORACLE, QUERIES
+    from tests.oracle_check import compare
+
+    sf = "/root/testdata/sf0.001"
+    compare(QUERIES["agg_cube"](spark, sf), ORACLE["agg_cube"], sf)
