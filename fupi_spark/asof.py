@@ -106,6 +106,80 @@ def asof_join(
     return out
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    bucket_seconds: int,
+    payload_prefix: str = "r_",
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical semantics to :func:`asof_join`,
+    but each key's timeline is split into ``bucket_seconds`` ranges so no
+    single window task ever holds a whole hot key (the plain window puts
+    ALL rows of a key in one task — fine for normal keys, a straggler for
+    a key with 10^9 events). Split-and-carry, two windows:
+
+      1. in-bucket pass — window over (key, bucket): per-row last right
+         payload within the row's own bucket (parallelism = key×bucket);
+      2. carry pass — per (key, bucket) reduce the last right payload
+         (one row per key×bucket, orders of magnitude smaller), then a
+         window over (key) ordered by bucket carries the last non-null
+         payload from STRICTLY EARLIER buckets;
+      3. row match = coalesce(in-bucket, carry), joined back on
+         (key, bucket).
+
+    The carry relation is |distinct key×bucket|, so its per-key window is
+    bounded by the time span / bucket width, never by row count.
+    """
+    pay = F.struct(*[F.col(c) for c in payload]).alias("_asof_pay")
+    r = right.select(
+        *[F.col(c) for c in on], F.col(right_ts).alias("_asof_ts"), pay
+    ).withColumn("_asof_side", F.lit(0))
+    l_cols = [c for c in left.columns]
+    lpay_type = r.schema["_asof_pay"].dataType
+    l = left.select(
+        *[F.col(c) for c in l_cols], F.col(left_ts).alias("_asof_ts")
+    ).withColumns({"_asof_pay": F.lit(None).cast(lpay_type), "_asof_side": F.lit(1)})
+    u = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_bucket",
+        F.expr(f"unix_micros(cast(_asof_ts as timestamp)) div {bucket_seconds * 1_000_000}"),
+    )
+    w1 = (
+        W.partitionBy(*on, "_bucket")
+        .orderBy("_asof_ts", "_asof_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    u = u.withColumn("_in_bucket", F.last("_asof_pay", ignorenulls=True).over(w1))
+    # bucket summary: last right payload per (key, bucket); left-only
+    # buckets keep a NULL so the carry window still sees them
+    summary = u.groupBy(*on, "_bucket").agg(
+        F.max_by(
+            "_asof_pay",
+            F.when(F.col("_asof_side") == 0, F.col("_asof_ts")),
+        ).alias("_blast")
+    )
+    w2 = W.partitionBy(*on).orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = summary.select(
+        *on, "_bucket", F.last("_blast", ignorenulls=True).over(w2).alias("_carry")
+    )
+    out = (
+        u.filter(F.col("_asof_side") == 1)
+        .join(carry, on=on + ["_bucket"], how="left")
+        .withColumn("_asof_match", F.coalesce("_in_bucket", "_carry"))
+        .select(
+            *l_cols,
+            *[
+                F.col(f"_asof_match.{c}").alias(f"{payload_prefix}{c}")
+                for c in payload
+            ],
+        )
+    )
+    return out
+
+
 def range_join_banded(
     left: DataFrame,
     right: DataFrame,
@@ -180,6 +254,49 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         payload=["event_id", "value", "ts"],
+    )
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("r_value").alias("purchase_value"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+            - F.expr("unix_micros(cast(r_ts as timestamp)) div 1000")
+        ).alias("lag_ms"),
+    ).orderBy("user_id", "click_id")
+
+
+@register(
+    "events_asof_join_salted",
+    oracle="""
+SELECT l.event_id AS click_id,
+       l.user_id AS user_id,
+       r.event_id AS purchase_id,
+       r.value AS purchase_value,
+       epoch_us(l.ts) // 1000 - epoch_us(r.ts) // 1000 AS lag_ms
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY user_id, click_id
+""",
+)
+def events_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe bucketed as-of plan (split-and-carry, 1-day
+    buckets) against the SAME DuckDB ASOF oracle as events_asof_join —
+    proving the salted path is semantically identical, so the plan a
+    10^12-row hot-key table needs is the plan that is oracle-checked."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = asof_join_bucketed(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "value", "ts"],
+        bucket_seconds=86_400,
     )
     return j.select(
         F.col("event_id").alias("click_id"),

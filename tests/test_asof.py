@@ -117,3 +117,27 @@ def test_agg_cube_oracle(spark):
 
     sf = "/root/testdata/sf0.001"
     compare(QUERIES["agg_cube"](spark, sf), ORACLE["agg_cube"], sf)
+
+
+def test_asof_bucketed_semantics_and_equivalence(spark):
+    from fupi_spark.asof import asof_join_bucketed
+
+    left, right = _sides(spark)
+    # 7-minute buckets: lid=2 @20 matches @15 (previous bucket → carry),
+    # lid=1 @10 ties in its own bucket, lid=3/4 unmatched
+    out = asof_join_bucketed(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload=["val"], bucket_seconds=420,
+    )
+    got = {r["lid"]: r["r_val"] for r in out.collect()}
+    assert got == {1: 1.5, 2: 2.5, 3: None, 4: None}
+    plan = formatted(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_bucketed_equals_plain_on_events(spark, sf_dir):
+    from fupi_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["events_asof_join"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["events_asof_join_salted"](spark, sf_dir).collect()))
+    assert a == b
