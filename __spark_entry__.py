@@ -18,6 +18,7 @@ from fupi_spark import queries as Q
 from fupi_spark import pipeline_queries  # noqa: F401  (registers entries)
 from fupi_spark import maintenance_queries  # noqa: F401  (rows-only entries)
 from fupi_spark import asof  # noqa: F401  (as-of / range join entries)
+from fupi_spark import corpus_ops  # noqa: F401  (splits / sessionize / packing)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,403 @@
+"""Corpus-lifecycle operators for training-data pipelines: deterministic
+splits, sessionization, and sequence packing.
+
+The reference pipeline stops at ingest + search (fupi/utils.py builds the
+corpus, searcher.py queries it); a 100 TB *training* corpus additionally
+needs reproducible train/holdout carving, per-stratum sampling, event
+sessionization, and context-window packing (task brief: first-class
+components alongside SURVEY.md §2). Each operator here is a pure
+DataFrame program with a DuckDB oracle.
+
+Cross-engine determinism (queries.py rules):
+- splits hash with md5 over the decimal string of the key — bit-identical
+  lowercase hex in Spark and DuckDB, compared LEXICOGRAPHICALLY on a hex
+  prefix so no float ever enters the decision;
+- time gaps compare in integer microseconds (``unix_micros`` /
+  ``epoch_us``), never interval or double seconds;
+- packing uses integer floor-division (Spark ``div``, DuckDB ``//``) on
+  cumulative token counts.
+
+Scale notes:
+- the hash split is embarrassingly parallel (no shuffle at all: a map
+  over the scan — the classic reproducible-split trick, cf. the
+  fingerprint-mod split in the web-corpus literature);
+- the stratified split's only shuffle is the per-stratum window
+  (partitionBy lang), the same key the downstream per-language
+  pipelines shuffle on anyway;
+- sessionization is ONE shuffle on user_id (window + the session agg
+  reuse the same partitioning — Catalyst collapses them into a single
+  exchange);
+- packing windows are partitioned by source shard, so no global
+  single-partition window exists at any scale: each shard packs its own
+  bins, which is exactly how a distributed packer must behave (bin ids
+  are (source, local_bin) pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .queries import load, register
+
+# ---------------------------------------------------------------------------
+# deterministic train/holdout split — md5 prefix, lexicographic compare
+# ---------------------------------------------------------------------------
+
+#: first-4-hex-digit threshold: '199a' / 'ffff' ≈ 10% holdout.
+#: Comparing the *string* prefix keeps the decision integer/string-only
+#: (no float rounding can ever flip a document between splits, and the
+#: assignment is stable across engines, partitionings, and re-runs — the
+#: property a reproducible eval-set carve-out needs).
+_SPLIT_PREFIX_LT = "199a"
+
+
+@register(
+    "split_train_holdout",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_PREFIX_LT}'
+            THEN 'holdout' ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+""",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% holdout carve-out by md5(doc_id) prefix.
+
+    Zero-shuffle: the split column is a map expression over the scan, so
+    at 100 TB this is a pure scan-speed pass (and composes with any
+    predicate pushdown — the CASE never blocks pruning on other
+    columns). Membership depends only on doc_id, so re-ingesting,
+    re-partitioning, or appending new documents never moves an existing
+    document across the split boundary.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                < _SPLIT_PREFIX_LT,
+                F.lit("holdout"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified split — exact floor(n/10) holdout PER LANGUAGE
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_stratified",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rn * 10 <= n_lang THEN 'holdout' ELSE 'train' END AS split
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified holdout: exactly floor(n_lang/10) docs per
+    language, chosen by md5 rank (deterministic pseudo-random order, tie
+    broken by doc_id).
+
+    The plain hash split drifts on small strata (a 30-doc language may
+    get 0 or 5 holdout docs); ranking within the stratum pins the count
+    exactly — the standard fix for per-domain/per-language eval sets.
+    One shuffle on lang; ``rn * 10 <= n_lang`` keeps the quota in
+    integer arithmetic (no ceil/floor-of-double divergence between
+    engines).
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n_lang"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("rn") * 10 <= F.col("n_lang"), F.lit("holdout"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization — one shuffle on user_id
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts - LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (5-min inactivity gap): flag session
+    starts with LAG, number sessions with a running SUM, aggregate to
+    one row per (user, session).
+
+    The gap compares ``ts - lag(ts)`` against an INTERVAL literal —
+    day-time intervals are integer-microsecond-backed in both Spark and
+    DuckDB, so no double arithmetic can diverge; ties on ts break by
+    event_id. Scale shape: window and group-by both key on user_id, so
+    Catalyst plans a SINGLE exchange — one shuffle for the whole
+    operator regardless of corpus size. Skewed users are bounded by
+    per-user event counts, not corpus size; a pathological single-user
+    firehose would be salted by time-bucket exactly like
+    asof.events_asof_join_salted's split-and-carry.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            lag_ts.isNull()
+            | (F.col("ts") - lag_ts > F.expr("INTERVAL 5 MINUTES")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — context-window binning by cumulative token count
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512  # tokens per packed context window
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       (cum - n_tokens) // {_PACK_CAPACITY} AS bin_id,
+       (cum - n_tokens) % {_PACK_CAPACITY} AS bin_offset
+FROM c
+ORDER BY doc_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: concatenate documents in doc_id order
+    within each source shard and assign each document the bin (training
+    sequence of {cap} tokens) where its first token lands, plus the
+    offset inside that bin.
+
+    This is the streaming-concatenation packer LLM pretraining uses
+    (documents are laid end-to-end and sliced every {cap} tokens —
+    boundary documents straddle two bins, which ``bin_offset`` exposes).
+    It needs only a cumulative sum, so it stays a single partitioned
+    window — no bin-packing solver, no driver loop. Windows partition by
+    source: every shard packs independently (bin ids are per-source),
+    which is the only packing contract that parallelizes at 100 TB.
+    Integer-only arithmetic: Spark ``div``/``%`` vs DuckDB ``//``/``%``
+    on BIGINT cumulative sums.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return (
+        c.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            start.cast("bigint").alias("_start"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"_start div {_PACK_CAPACITY}").alias("bin_id"),
+            (F.col("_start") % _PACK_CAPACITY).alias("bin_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+pack_sequences.__doc__ = pack_sequences.__doc__.format(cap=_PACK_CAPACITY)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming windowed aggregation — watermark semantics proven
+# against a batch oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+WITH w AS (
+  SELECT date_trunc('hour', ts) AS wstart, event_type,
+         COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+  FROM events
+  GROUP BY date_trunc('hour', ts), event_type
+), m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT w.wstart, w.event_type, w.n, w.min_id, w.max_id
+FROM w, m
+WHERE w.wstart + INTERVAL 1 HOUR <= m.mx - INTERVAL 30 MINUTE
+ORDER BY wstart, event_type
+""",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window counts with a 30-minute
+    watermark, run to completion with ``Trigger.AvailableNow`` and
+    proven EQUAL to batch SQL — including the watermark's append-mode
+    contract: only windows whose end <= final watermark
+    (``max(ts) - 30 min``) are emitted, which the oracle replicates
+    with the same interval arithmetic. This pins the exact late-data
+    semantics a production stream would exhibit, not just "some rows
+    came out".
+
+    Mechanics: the file source requires a directory, so the entry
+    symlinks the events parquet into a temp dir (zero copy); event time
+    is cast NTZ→LTZ under an explicitly pinned UTC session zone (and
+    the window start cast back to NTZ), so window boundaries equal
+    ``date_trunc('hour')`` of the naive timestamps in any host zone.
+    Scale shape: identical to the batch plan — partial aggregation
+    before one shuffle on (window, event_type); state store size is
+    bounded by watermark horizon × key cardinality, and the same job
+    resumes incrementally from a real checkpoint in production
+    (streaming.py's WAP sink demonstrates exactly-once delivery of
+    these micro-batches into the lakehouse).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src_dir = tempfile.mkdtemp(prefix="fupi_stream_src_")
+    tz_before = spark.conf.get("spark.sql.session.timeZone", None)
+    name = "sw_" + uuid.uuid4().hex[:8]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        schema = load(spark, sf_dir, "events").schema
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            src.withWatermark("ts_ltz", "30 minutes")
+            .groupBy(F.window("ts_ltz", "1 hour").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .select(
+                F.col("win.start").cast("timestamp_ntz").alias("wstart"),
+                "event_type",
+                "n",
+                "min_id",
+                "max_id",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        if tz_before is not None:
+            spark.conf.set("spark.sql.session.timeZone", tz_before)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    # memory-sink rows are materialized on the driver by now; the temp
+    # source dir is no longer referenced
+    return spark.table(name).orderBy("wstart", "event_type")
