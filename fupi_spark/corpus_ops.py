@@ -12,8 +12,8 @@ Cross-engine determinism (queries.py rules):
 - splits hash with md5 over the decimal string of the key — bit-identical
   lowercase hex in Spark and DuckDB, compared LEXICOGRAPHICALLY on a hex
   prefix so no float ever enters the decision;
-- time gaps compare in integer microseconds (``unix_micros`` /
-  ``epoch_us``), never interval or double seconds;
+- time gaps compare timestamp differences against INTERVAL literals
+  (integer-microsecond-backed in both engines), never double seconds;
 - packing uses integer floor-division (Spark ``div``, DuckDB ``//``) on
   cumulative token counts.
 
@@ -401,3 +401,177 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink rows are materialized on the driver by now; the temp
     # source dir is no longer referenced
     return spark.table(name).orderBy("wstart", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles — percentile_disc by integer rank, no float in the
+# rank selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, MAX(n) AS n,
+       MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+       MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95,
+       MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of ``value`` per event_type with
+    percentile_disc semantics: the element at rank ceil(p·n), selected
+    by INTEGER arithmetic (``(k·n + k) div d`` is ceil(k·n/d)), so no
+    interpolation and no float ever decides which element wins — the
+    returned doubles are raw parquet values, bitwise-identical in both
+    engines.
+
+    Scale shape: one shuffle on event_type for the rank window; the agg
+    reuses the same partitioning (no second exchange). For heavy groups
+    where a full sort-per-group hurts, the same integer-rank contract
+    is served by two cheaper passes (approx_percentile to bracket, then
+    an exact rank count within the bracket) — the semantics pinned here
+    stay the oracle for that upgrade.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    def at(expr: str):
+        return F.min(
+            F.when(F.col("rn") == F.expr(expr), F.col("value"))
+        )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            at("(n + 1) div 2").alias("p50"),
+            at("(19 * n + 19) div 20").alias("p95"),
+            at("(99 * n + 99) div 100").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25-style lexical retrieval — rational arithmetic only (cross-engine
+# bitwise-safe), inverted-index aggregation shape
+# ---------------------------------------------------------------------------
+
+#: fixed query terms (literals, like queries.QUERY_VEC for the vector
+#: path): the lexical counterpart of the reference's dense search.
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+
+
+def _bm25_score_sql(dialect: str) -> str:
+    """Per-term score: idf_rational * tf*(k1+1)/(tf+k1), summed in
+    FIXED term order (left-assoc) — every operand is either an integer
+    cast or the same decimal literal, so both engines produce
+    bitwise-equal doubles. idf_rational = (N - df + 0.5)/(df + 0.5):
+    the Robertson idf numerator/denominator without the log — a
+    monotone rational stand-in that keeps the arithmetic exactly
+    portable (the log belongs to the ranking aesthetics, not the
+    algebra; swap it in production where cross-engine bit-equality is
+    not a test contract)."""
+    half = "CAST(0.5 AS DOUBLE)"
+    parts = []
+    for t in _BM25_TERMS:
+        tf = f"CAST(tf_{t} AS DOUBLE)"
+        df_ = f"CAST(df_{t} AS DOUBLE)"
+        n = "CAST(n_docs AS DOUBLE)"
+        idf = f"(({n} - {df_} + {half}) / ({df_} + {half}))"
+        sat = f"(({tf} * (({_BM25_K1}) + CAST(1 AS DOUBLE))) / ({tf} + ({_BM25_K1})))"
+        parts.append(f"({idf} * {sat})")
+    return "(" + " + ".join(parts) + ")"
+
+
+_BM25_TF_CASES_DUCK = ", ".join(
+    f"COALESCE(MAX(CASE WHEN token = '{t}' THEN tf END), 0) AS tf_{t}"
+    for t in _BM25_TERMS
+)
+_BM25_DF_SELECTS_DUCK = ", ".join(
+    f"(SELECT COUNT(*) FROM tf WHERE token = '{t}') AS df_{t}"
+    for t in _BM25_TERMS
+)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS tok) t
+  WHERE t.tok IN {tuple(_BM25_TERMS)!r}
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+), per_doc AS (
+  SELECT doc_id, {_BM25_TF_CASES_DUCK} FROM tf GROUP BY doc_id
+), consts AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs, {_BM25_DF_SELECTS_DUCK}
+)
+SELECT doc_id, {_bm25_score_sql('duck')} AS score
+FROM per_doc, consts
+ORDER BY score DESC, doc_id
+LIMIT 20
+""",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval with a BM25-shaped score — the lexical
+    counterpart of the flagship dense search (reference: searcher.py's
+    vector pipeline; a production corpus serves both). Inverted-index
+    aggregation shape: explode to (doc, term) postings ONLY for the
+    query's terms (the IN filter prunes before the explode's shuffle),
+    tf per (doc, term), df per term (a TERMS-sized broadcast), score as
+    a codegen expression, top-k via sort+limit (TakeOrderedAndProject —
+    per-partition heaps, no global sort materialization).
+
+    Determinism: the score is pure rational arithmetic over integer
+    counts in fixed term order (see _bm25_score_sql) — bitwise-equal
+    doubles in both engines, so even DESC-order ties break identically
+    (then by doc_id).
+    """
+    docs = load(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token").isin(terms))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfs = tf.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    consts = n_docs.crossJoin(dfs)
+    scored = per_doc.crossJoin(F.broadcast(consts)).selectExpr(
+        "doc_id", f"{_bm25_score_sql('spark')} AS score"
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(20)

@@ -1256,3 +1256,125 @@ def translate_batch_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = translate_results(docs, cols=("text",))
     return out.select("doc_id", "text_translated").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# near-dup connected components — pairs → canonical document groups
+# ---------------------------------------------------------------------------
+
+# the recursive closure below reuses the EXACT pair SQL of
+# dedup_minhash_lsh (same shingle/sig/band CTEs), so the two entries are
+# audited against one another: the component labeling is over the very
+# pair set the LSH entry proved correct.
+_DUCK_PAIRS_CTE = f"""
+seeds AS (SELECT UNNEST(range(0, {MINHASH_K})) AS seed),
+sigs AS (
+  SELECT doc_id, seed, MIN(md5(seed || ':' || shingle)) AS sig
+  FROM shingles CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(STRING_AGG(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs
+  GROUP BY doc_id, seed // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+)
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_SHINGLES.strip()},
+{_DUCK_PAIRS_CTE.strip()},
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id,
+       MIN(lbl) AS component_id,
+       COUNT(*) OVER (PARTITION BY MIN(lbl)) AS component_size
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    every document labeled with the smallest doc_id reachable through
+    near-dup edges (its canonical representative), plus the component
+    size. This is the step that turns pairwise dedup into an actionable
+    keep/drop list — keep ``doc_id == component_id``, drop the rest —
+    and transitively merges chains A~B~C that no pairwise threshold
+    sees as one group.
+
+    Algorithm: iterative min-label propagation — each round joins the
+    current labels across the symmetric edge list and takes the min.
+    Converges in O(graph diameter) rounds (near-dup components are
+    shallow; the round cap asserts convergence rather than truncating).
+    Each round is ONE shuffle keyed on doc_id over a labels frame of
+    |V| rows plus an edges frame of 2|E| rows — never materializing
+    reachability pairs, which is why this scales where the oracle's
+    transitive closure (fine at sf0.01) cannot; for adversarial
+    high-diameter graphs the same loop upgrades to the alternating
+    large-star/small-star rounds of Kiveris et al. (MapReduce CC),
+    which this structure is already shaped for. ``localCheckpoint``
+    truncates the growing lineage each round; convergence is detected
+    by a monotone label-sum (one scalar job per round).
+
+    The DuckDB oracle recomputes the SAME pair set (identical CTEs as
+    dedup_minhash_lsh) and closes it with a recursive CTE, so the
+    component labeling is verified end-to-end, not against a replayed
+    Spark result.
+    """
+    docs = load(spark, sf_dir, "documents")
+    # pair generation identical to dedup_minhash_lsh (shared helpers)
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # (doc_a, doc_b)
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
+    )
+    try:
+        labels = docs.select(
+            F.col("doc_id"), F.col("doc_id").alias("lbl")
+        ).localCheckpoint()
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(50):
+            nbr = edges.join(
+                labels, edges["src"] == labels["doc_id"], "inner"
+            ).select(F.col("dst").alias("doc_id"), "lbl")
+            labels = (
+                labels.unionAll(nbr)
+                .groupBy("doc_id")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("lbl")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError("dedup_components: no convergence in 50 rounds")
+    finally:
+        edges.unpersist()
+    sizes = W.partitionBy("lbl")
+    return (
+        labels.select(
+            "doc_id",
+            F.col("lbl").alias("component_id"),
+            F.count(F.lit(1)).over(sizes).alias("component_size"),
+        )
+        .orderBy("doc_id")
+    )

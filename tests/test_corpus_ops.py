@@ -171,3 +171,65 @@ def test_stream_windows_match_batch_with_watermark_cutoff(spark):
     assert _rows(out) == _rows(kept)
     # the stream genuinely withheld the un-finalized tail
     assert kept.count() < batch.count()
+
+
+# ---------------------------------------------------------------------------
+# connected components / percentiles / bm25
+# ---------------------------------------------------------------------------
+
+
+def test_components_oracle_and_structure(spark):
+    from fupi_spark.pipeline_queries import dedup_components, dedup_minhash_lsh
+    from fupi_spark.queries import ORACLE
+
+    comp = dedup_components(spark, SF)
+    compare(comp, ORACLE["dedup_components"], SF)
+    rows = comp.collect()
+    label = {r.doc_id: r.component_id for r in rows}
+    # canonical representative is a member of its own component
+    for doc, c in label.items():
+        assert label[c] == c
+    # every near-dup pair ended up in the same component
+    for p in dedup_minhash_lsh(spark, SF).collect():
+        assert label[p.doc_a] == label[p.doc_b]
+    # sizes consistent
+    from collections import Counter
+
+    sizes = Counter(label.values())
+    for r in rows:
+        assert r.component_size == sizes[r.component_id]
+
+
+def test_percentiles_rank_contract(spark):
+    from fupi_spark.corpus_ops import value_percentiles
+
+    per = {r.event_type: r for r in value_percentiles(spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        r = per[et]
+        assert r.n == n
+        assert r.p50 == vals[(n + 1) // 2 - 1]
+        assert r.p95 == vals[(19 * n + 19) // 20 - 1]
+        assert r.p99 == vals[(99 * n + 99) // 100 - 1]
+        assert r.p50 <= r.p95 <= r.p99
+
+
+def test_bm25_scores_track_term_presence(spark):
+    from fupi_spark.corpus_ops import _BM25_TERMS, bm25_topk
+
+    top = bm25_topk(spark, SF).collect()
+    assert len(top) == 20
+    assert all(top[i].score >= top[i + 1].score for i in range(19))
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    # every positively-scored hit actually contains a query term
+    for r in top:
+        if r.score > 0:
+            assert any(t in docs[r.doc_id].split() for t in _BM25_TERMS)
