@@ -813,6 +813,342 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# portable HLL: a from-scratch HyperLogLog whose sketch math is expressed
+# in engine-portable integer SQL, so the SAME estimate is computable (and
+# oracle-checked bit-for-bit) in Spark and DuckDB — unlike
+# approx_distinct_hll above, whose engine-native HLL++ sketches differ.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 512  # registers (p=9): std err 1.04/sqrt(512) ≈ 4.6%
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_EMPTY = 1 << 52  # scale factor: 2^-rho summed as integer 2^(52-rho)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(_HLL_EMPTY)
+
+
+def hll_oracle_sql(table: str, group_col: str, val_col: str) -> str:
+    """DuckDB-dialect portable-HLL over ``table`` grouping by
+    ``group_col``, sketching distinct ``val_col`` — the exact integer
+    arithmetic mirror of :func:`hll_spark`."""
+    return f"""
+WITH reg AS (
+  SELECT {group_col}, hv % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (hv >> 9) = 0 THEN 52
+                  ELSE 52 - LENGTH(bin(hv >> 9)) END) AS mj
+  FROM (SELECT {group_col},
+               CAST('0x' || substring(md5(CAST({val_col} AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM {table})
+  GROUP BY {group_col}, hv % {_HLL_M}
+),
+est AS (
+  SELECT {group_col},
+         SUM(CAST(POWER(2.0, 52 - mj) AS BIGINT)) AS s_scaled,
+         COUNT(*) AS nz
+  FROM reg GROUP BY {group_col}
+),
+ex AS (
+  SELECT {group_col}, COUNT(DISTINCT {val_col}) AS exact_vals
+  FROM {table} GROUP BY {group_col}
+),
+fin AS (
+  SELECT est.{group_col},
+         CAST(ROUND(
+           CASE WHEN {_HLL_NUM!r} / CAST(s_scaled + ({_HLL_M} - nz) * {_HLL_EMPTY} AS DOUBLE)
+                     <= {2.5 * _HLL_M} AND nz < {_HLL_M}
+                THEN {float(_HLL_M)!r} * LN({float(_HLL_M)!r} / CAST({_HLL_M} - nz AS DOUBLE))
+                ELSE {_HLL_NUM!r} / CAST(s_scaled + ({_HLL_M} - nz) * {_HLL_EMPTY} AS DOUBLE)
+           END) AS BIGINT) AS approx_vals,
+         exact_vals
+  FROM est JOIN ex ON est.{group_col} = ex.{group_col}
+)
+SELECT {group_col}, approx_vals, exact_vals,
+       ROUND(ABS(approx_vals - exact_vals) / CAST(exact_vals AS DOUBLE), 4)
+         AS rel_err,
+       ROUND(ABS(approx_vals - exact_vals) / CAST(exact_vals AS DOUBLE), 4)
+         <= 0.15 AS within_bound
+FROM fin ORDER BY {group_col}
+"""
+
+
+def hll_spark(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Spark side of the portable HLL (see :func:`hll_oracle_sql`)."""
+    hv = F.conv(
+        F.substring(F.md5(F.col(val_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(group_col, val_col, hv.alias("hv"))
+    w = F.shiftright(F.col("hv"), 9)
+    rho = F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - F.length(F.bin(w)))
+    reg = hashed.groupBy(
+        group_col, (F.col("hv") % _HLL_M).alias("bucket")
+    ).agg(F.max(rho).alias("mj"))
+    est = reg.groupBy(group_col).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(52) - F.col("mj")).cast("long")
+        ).alias("s_scaled"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(val_col).alias("exact_vals")
+    )
+    s_total = (
+        F.col("s_scaled") + (F.lit(_HLL_M) - F.col("nz")) * F.lit(_HLL_EMPTY)
+    ).cast("double")
+    raw = F.lit(_HLL_NUM) / s_total
+    v_empty = F.lit(_HLL_M) - F.col("nz")
+    est_val = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (v_empty > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / v_empty.cast("double")),
+    ).otherwise(raw)
+    out = est.join(exact, group_col).select(
+        group_col,
+        F.round(est_val).cast("long").alias("approx_vals"),
+        "exact_vals",
+    )
+    rel = F.round(
+        F.abs(F.col("approx_vals") - F.col("exact_vals"))
+        / F.col("exact_vals").cast("double"),
+        4,
+    )
+    return (
+        out.withColumn("rel_err", rel)
+        .withColumn("within_bound", F.col("rel_err") <= F.lit(0.15))
+        .orderBy(group_col)
+    )
+
+
+@register(
+    "hll_portable_sketch",
+    oracle=hll_oracle_sql("events", "event_type", "user_id"),
+)
+def hll_portable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog, oracle-proven: md5 → 60-bit hash,
+    bucket = h mod 512, rho = leading-zero rank of the remaining 51-bit
+    window via LENGTH(bin(w)), register max per bucket, and an
+    INTEGER-scaled harmonic sum (Σ 2^(52-rho) as bigint) so the only
+    floating-point steps are one division and the standard linear-counting
+    branch — both engines therefore produce the identical estimate and the
+    driver hash-checks it (the engine-native sibling approx_distinct_hll
+    cannot be oracle'd because HLL++ sketches differ per engine).
+
+    Scale: identical shape to approx_count_distinct — a two-level groupBy
+    whose first level carries at most m=512 registers per group key, i.e.
+    fixed-size map-side state, never a shuffle of raw user_ids. This is
+    the sketch you run per-partition over 10^12 rows and merge by MAX."""
+    return hll_spark(load(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# portable count-min sketch: frequency estimation / heavy hitters with
+# the same cross-engine md5 integer arithmetic as the portable HLL.
+# Together with hll_portable_sketch (distinct) and
+# quantile_histogram_sketch (quantiles) this completes the mergeable
+# fixed-state sketch family a streaming 10^12-row pipeline runs map-side.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # counters per row: 150 users -> collision-light, still tiny
+
+
+def _cms_bucket_sql(d_expr: str, key_expr: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({d_expr} AS VARCHAR) || '|' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 15) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_col(d_col, key_col):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        d_col.cast("string"), F.lit("|"), key_col.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH dims AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+bucketed AS (
+  SELECT event_type, d,
+         {_cms_bucket_sql("d", "user_id")} AS bucket
+  FROM events CROSS JOIN dims
+),
+counters AS (
+  SELECT event_type, d, bucket, COUNT(*) AS cnt
+  FROM bucketed GROUP BY event_type, d, bucket
+),
+cands AS (
+  SELECT event_type, user_id, COUNT(*) AS exact_count
+  FROM events GROUP BY event_type, user_id
+),
+cb AS (
+  SELECT c.event_type, c.user_id, c.exact_count, dims.d,
+         {_cms_bucket_sql("dims.d", "c.user_id")} AS bucket
+  FROM cands c CROSS JOIN dims
+),
+est AS (
+  SELECT cb.event_type, cb.user_id, cb.exact_count,
+         MIN(co.cnt) AS cms_count
+  FROM cb JOIN counters co
+    ON cb.event_type = co.event_type AND cb.d = co.d
+   AND cb.bucket = co.bucket
+  GROUP BY cb.event_type, cb.user_id, cb.exact_count
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY cms_count DESC, user_id) AS rnk
+  FROM est
+)
+SELECT event_type, rnk, user_id, cms_count, exact_count,
+       cms_count >= exact_count AS cms_ge_exact
+FROM ranked WHERE rnk <= 5
+ORDER BY event_type, rnk
+""",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, oracle-proven: d=4 md5 hash rows
+    × w=256 counters per event_type; the frequency estimate for a key is
+    MIN over its d counters and is never below the true count (the
+    emitted cms_ge_exact invariant). Top-5 per group ranked by the
+    SKETCH estimate (user_id tiebreak) with the exact count alongside.
+
+    Scale shape: the counter table is fixed-size (d·w rows per group)
+    and mergeable by +, so it builds map-side in one pass over 10^12
+    rows; only the candidate point-queries join it. Here the candidate
+    set is the exact groupBy (small demo corpus) — in production the
+    candidates come from a sampled or space-saving stream and the
+    counter build is the ONLY full-data pass."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    dims = F.explode(F.array([F.lit(i) for i in range(_CMS_D)])).alias("d")
+    bucketed = ev.select("event_type", "user_id", dims).select(
+        "event_type",
+        "d",
+        _cms_bucket_col(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    counters = bucketed.groupBy("event_type", "d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cands = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    cb = cands.select(
+        "event_type", "user_id", "exact_count", dims
+    ).withColumn("bucket", _cms_bucket_col(F.col("d"), F.col("user_id")))
+    est = (
+        cb.join(counters, ["event_type", "d", "bucket"])
+        .groupBy("event_type", "user_id", "exact_count")
+        .agg(F.min("cnt").alias("cms_count"))
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("cms_count").desc(), "user_id"
+    )
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            "rnk",
+            "user_id",
+            "cms_count",
+            "exact_count",
+            (F.col("cms_count") >= F.col("exact_count")).alias("cms_ge_exact"),
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# portable quantile sketch: fixed 1024-bin histogram + integer-rank pick.
+# ---------------------------------------------------------------------------
+
+_QH_BINS = 1024  # unit-width bins over [0, 1024): covers value's range
+
+
+@register(
+    "quantile_histogram_sketch",
+    oracle=f"""
+WITH hist AS (
+  SELECT event_type,
+         LEAST({_QH_BINS - 1}, GREATEST(0, CAST(FLOOR(value) AS BIGINT)))
+           AS bin,
+         COUNT(*) AS cnt
+  FROM events GROUP BY event_type, bin
+),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, MAX(n) AS n,
+       MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) + 0.5 AS p50_est,
+       MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN bin END) + 0.5
+         AS p95_est,
+       MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) + 0.5
+         AS p99_est
+FROM cum GROUP BY event_type ORDER BY event_type
+""",
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch, oracle-proven: 1024
+    unit-width bins over value, cumulative counts, then the SAME integer
+    ceil-rank arithmetic as value_percentiles picks the bin whose
+    midpoint is the estimate — every step integer until the final +0.5.
+
+    Scale shape: the histogram is a bounded (≤1024 rows per group)
+    mergeable map-side state — the cheap first pass of the two-pass
+    exact-percentile plan corpus_ops.value_percentiles documents; at
+    10^12 rows this replaces its full per-group sort entirely when
+    ±half-bin error is acceptable. A pytest pins |est − exact| ≤ 1 bin
+    against the exact entry."""
+    ev = load(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.lit(_QH_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value")).cast("long")),
+    )
+    hist = ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("event_type").orderBy("bin"))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(target: str):
+        return F.min(
+            F.when(F.col("cum") >= F.expr(target), F.col("bin"))
+        ) + F.lit(0.5)
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            pick("(n + 1) div 2").alias("p50_est"),
+            pick("(19 * n + 19) div 20").alias("p95_est"),
+            pick("(99 * n + 99) div 100").alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "set_ops_sources",
     oracle="""

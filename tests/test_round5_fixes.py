@@ -617,3 +617,38 @@ def test_streaming_wap_resumes_unaudited_batch(spark, tmp_path):
         s["summary"].get("wap_rejected_snapshot") is not None
         for s in t.lineage_chain()
     )
+
+
+class TestPortableHLL:
+    """hll_portable_sketch: both estimator branches agree with DuckDB."""
+
+    def test_raw_branch_high_cardinality(self, spark):
+        # event_id is unique per row: ~6.8k distinct per event_type at
+        # sf0.01 >> 2.5*m = 1280, so the raw harmonic-mean branch runs
+        # (the registered entry's user_id cardinality exercises the
+        # linear-counting branch; together they cover both paths).
+        from fupi_spark.pipeline_queries import hll_oracle_sql, hll_spark
+        from fupi_spark.queries import load
+
+        from .oracle_check import compare
+
+        sf = "/root/testdata/sf0.01"
+        ev = load(spark, sf, "events")
+        df = hll_spark(ev, "event_type", "event_id")
+        rows = df.collect()
+        assert rows, "no groups"
+        exacts = [r.exact_vals for r in rows]
+        assert max(exacts) > 2.5 * 512, "cardinality too low for raw branch"
+        assert all(r.within_bound for r in rows), rows
+        compare(df, hll_oracle_sql("events", "event_type", "event_id"), sf)
+
+    def test_lc_branch_registered_entry(self, spark, sf_dir):
+        import __spark_entry__ as entry
+
+        from .oracle_check import compare
+
+        qs, osql = entry.queries(), entry.oracle_sql()
+        df = qs["hll_portable_sketch"](spark, sf_dir)
+        rows = df.collect()
+        assert rows and all(r.within_bound for r in rows), rows
+        compare(df, osql["hll_portable_sketch"], sf_dir)
