@@ -601,3 +601,111 @@ def chunk_clips(clips: DataFrame, window_ms: int) -> DataFrame:
                 yield pd.DataFrame(out)[cols]
 
     return clips.select(*cols).mapInPandas(run, schema=CLIPS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# energy-based VAD segmentation (silence detection over real payload
+# bytes; the corpus-pipeline step that gates ASR/training windows)
+# ---------------------------------------------------------------------------
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("first_voiced", T.LongType(), True),
+        T.StructField("n_voiced", T.LongType(), False),
+    ]
+)
+
+
+def plant_silence(clips: DataFrame, frame_ms: int = 20) -> DataFrame:
+    """Zero the first ``sil_frames`` full frames of each clip's PCM
+    (frame = max(1, sr·frame_ms // 1000) samples) and re-encode in the
+    parent codec; ``sil_frames`` is seeded per clip_id over
+    [0, n_frames] inclusive, so some clips come out fully silent. The
+    output carries an extra ``sil_frames`` column — the planted spec a
+    VAD oracle audits against (write it to a sidecar, then drop it)."""
+    from .schema import CLIPS_SCHEMA
+
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    out_schema = T.StructType(
+        CLIPS_SCHEMA.fields + [T.StructField("sil_frames", T.LongType(), False)]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in it:
+            if len(full) == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+                )
+                continue
+            for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+                pdf = pdf.copy()
+                new_bytes, sils = [], []
+                for cid, b, sr, codec in zip(
+                    pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+                ):
+                    pcm = _decode_one(b, codec).copy()
+                    fs = max(1, int(sr) * frame_ms // 1000)
+                    n_frames = len(pcm) // fs
+                    sil = int(clip_seed(cid + "::sil") % np.uint64(n_frames + 1))
+                    pcm[: sil * fs] = 0
+                    new_bytes.append(
+                        wav_encode(pcm, int(sr))
+                        if codec == "pcm_s16le"
+                        else fake_encode(pcm, codec)
+                    )
+                    sils.append(sil)
+                pdf["bytes"] = new_bytes
+                pdf["sil_frames"] = np.array(sils, np.int64)
+                yield pdf[[f.name for f in out_schema.fields]]
+
+    return clips.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def vad_segments(
+    clips: DataFrame, frame_ms: int = 20, threshold: float = 1.0
+) -> DataFrame:
+    """Energy VAD over actual payload bytes: decode, split into FULL
+    frames of max(1, sr·frame_ms // 1000) samples (a trailing partial
+    frame is ignored — its RMS is statistically unstable), mark a frame
+    voiced when its RMS ≥ ``threshold`` (int16 units; digital silence
+    is exactly 0, so any real signal clears a threshold of 1.0), and
+    emit per clip: frame count, index of the first voiced frame (NULL
+    when fully silent), and the voiced-frame count.
+
+    Frame energies come from one cumsum of x² per clip (no per-frame
+    python); rows stream through payload-bounded mapInPandas blocks —
+    linear, shuffle-free, the same scale shape as verify/chunk."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in it:
+            if len(full) == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in VAD_SCHEMA.fields}
+                )
+                continue
+            for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+                out = {c: [] for c in ("clip_id", "n_frames", "first_voiced", "n_voiced")}
+                for cid, b, sr, codec in zip(
+                    pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+                ):
+                    pcm = _decode_safe(b, codec)
+                    fs = max(1, int(sr) * frame_ms // 1000)
+                    k = len(pcm) // fs
+                    if k == 0:
+                        voiced = np.zeros(0, bool)
+                    else:
+                        x = pcm[: k * fs].astype(np.float64)
+                        cs = np.zeros(k * fs + 1)
+                        np.cumsum(x * x, out=cs[1:])
+                        sums = cs[np.arange(1, k + 1) * fs] - cs[np.arange(k) * fs]
+                        voiced = np.sqrt(sums / fs) >= threshold
+                    idx = int(np.argmax(voiced)) if voiced.any() else None
+                    out["clip_id"].append(cid)
+                    out["n_frames"].append(k)
+                    out["first_voiced"].append(idx)
+                    out["n_voiced"].append(int(voiced.sum()))
+                yield pd.DataFrame(out)
+
+    return clips.mapInPandas(run, schema=VAD_SCHEMA)

@@ -1327,3 +1327,50 @@ def lakehouse_merge_prune_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "file_name string, min_clip_id string, max_clip_id string, touched int",
     )
+
+
+@register(
+    "audio_vad_energy",
+    oracle=f"""
+WITH m AS (
+  SELECT clip_id,
+         GREATEST(1, CAST(FLOOR(CAST(sr_hz AS DOUBLE) * dur_ms / 1000) AS BIGINT))
+           AS n0,
+         GREATEST(1, CAST((sr_hz * 20) // 1000 AS BIGINT)) AS fs,
+         sil_frames
+  FROM read_parquet('{SCRATCH}/vad_sidecar/*.parquet')
+),
+f AS (SELECT clip_id, n0 // fs AS n_frames, sil_frames FROM m)
+SELECT clip_id, n_frames,
+       CASE WHEN sil_frames >= n_frames THEN NULL ELSE sil_frames END
+         AS first_voiced,
+       n_frames - LEAST(sil_frames, n_frames) AS n_voiced
+FROM f ORDER BY clip_id
+""",
+)
+def audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-VAD silence segmentation (audio.vad_segments): a prep op
+    plants an exact frame-aligned silence prefix into each clip's PCM —
+    sil_frames seeded per clip over [0, n_frames], so some clips are
+    fully silent — re-encodes, and writes the planted spec to a
+    sidecar. The VAD then decodes the ACTUAL planted bytes, computes
+    per-frame RMS, and must recover the spec exactly: first voiced
+    frame == sil_frames (NULL when fully silent), voiced count ==
+    n_frames − sil_frames. The oracle derives all three from the
+    sidecar alone — any mis-framing, threshold drift, or decode slip
+    breaks a row. Digital silence is exactly zero and every synth tone
+    frame clears RMS 1.0, so the contract is deterministic, not
+    statistical."""
+    from .audio import plant_silence, vad_segments
+    from .synth import synth_clips
+
+    sidecar = f"{SCRATCH}/vad_sidecar"
+    shutil.rmtree(sidecar, ignore_errors=True)
+    clips = synth_clips(spark, 150, dur_range_ms=(300, 700), parts=6)
+    planted = plant_silence(clips, frame_ms=20)
+    planted.select("clip_id", "sr_hz", "dur_ms", "sil_frames").write.mode(
+        "overwrite"
+    ).parquet(sidecar)
+    return vad_segments(planted.drop("sil_frames"), frame_ms=20).orderBy(
+        "clip_id"
+    )

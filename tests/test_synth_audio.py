@@ -158,3 +158,32 @@ def test_chunk_clips_sample_exact_roundtrip(spark):
         )
         ref = _decode_one(r["bytes"], r["codec"])
         assert np.array_equal(got, ref)
+
+
+class TestVad:
+    def test_plant_and_recover(self, spark):
+        from fupi_spark.audio import plant_silence, vad_segments
+        from fupi_spark.synth import synth_clips
+
+        clips = synth_clips(spark, 40, dur_range_ms=(200, 400), parts=2)
+        planted = plant_silence(clips, frame_ms=20)
+        spec = {r.clip_id: r.sil_frames for r in
+                planted.select("clip_id", "sil_frames").collect()}
+        out = vad_segments(planted.drop("sil_frames"), frame_ms=20).collect()
+        assert len(out) == 40
+        for r in out:
+            sil = spec[r.clip_id]
+            if sil >= r.n_frames:
+                assert r.first_voiced is None and r.n_voiced == 0
+            else:
+                assert r.first_voiced == sil, r
+                assert r.n_voiced == r.n_frames - sil, r
+
+    def test_corrupt_payload_counts_zero_frames(self, spark):
+        from fupi_spark.audio import vad_segments
+        from fupi_spark.schema import CLIPS_SCHEMA
+
+        row = [("clip_bad", b"\x00\x01", 8000, 100, "pcm_s16le", "x")]
+        df = spark.createDataFrame(row, CLIPS_SCHEMA)
+        r = vad_segments(df).collect()[0]
+        assert r.n_frames == 0 and r.first_voiced is None and r.n_voiced == 0
