@@ -1,0 +1,158 @@
+"""Row-level change-data-capture between two snapshots.
+
+``incremental_scan`` (meta.py:559) covers the append-only fast path and
+refuses to cross replacing operations; this module closes that gap with
+the full Iceberg-style changelog: the NET row-level diff between any two
+snapshots — inserts and deletes (an update is a delete+insert pair on
+the same key), with maintenance rewrites (compact / cluster) correctly
+contributing NOTHING because they move bytes, not rows.
+
+Reference anchor: the reference corpus pipeline re-embeds exactly the
+sentences that changed between crawls (/root/reference/fupi/utils.py —
+the drop/recreate loop); a 10^12-row table can't diff by recreate, it
+needs this scan.
+
+Scale shape — the central property is that the diff NEVER reads the
+whole table:
+
+- only files added or removed between the snapshots are read; a file
+  live in both snapshots with identical applicable-delete state is
+  skipped entirely (its rows cancel in the multiset diff by
+  construction, so we prove the cancellation from the manifest instead
+  of paying two reads + a shuffle for it);
+- a compaction/cluster-only interval therefore reads just the rewritten
+  files, and an append-only interval degenerates to incremental_scan's
+  plan: the added files are emitted as inserts with NO anti-join at
+  all (``exceptAll`` is skipped when either side is file-free);
+- the general diff is two ``exceptAll``s (Spark's hash-based multiset
+  difference) over the changed-file rows only — one shuffle each, keyed
+  on the full row, the same cost Iceberg's changelog scan pays for its
+  net-changes mode.
+
+MOR awareness: a delete-mor snapshot changes visible rows WITHOUT
+touching data files, so "live in both snapshots" is not enough to skip
+a file — each common file is skipped only when its applicable
+equality-delete signature (the set of delete files with
+``sequence >= file sequence``) is identical at both endpoints; both
+sides read through ``_read_files``, which applies each snapshot's own
+delete state. Schema evolution between the endpoints (rename/add ops)
+makes visible rows of untouched files differ too, so any schema_ops
+drift marks all common files changed; the old side is then aligned to
+the NEW snapshot's column set (dropped columns vanish, added columns
+read as NULL) — Iceberg likewise emits its changelog in the current
+schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_TYPE_COL = "_change_type"
+
+
+def _delete_signature(specs: list[dict], file_seq: int) -> tuple:
+    """The applicable-delete identity of a data file under one
+    snapshot: which (immutable) delete files would filter its rows.
+    Identical signatures at both endpoints => identical visible rows
+    for an identical data file."""
+    return tuple(
+        sorted(
+            d["file_path"]
+            for d in specs
+            if int(d.get("sequence") or 0) >= file_seq
+        )
+    )
+
+
+def changelog_scan(
+    table,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Net row-level changes in ``(from, to]`` as a DataFrame with the
+    new snapshot's user-facing columns plus ``_change_type`` in
+    ('insert', 'delete'). An updated row appears twice (delete of the
+    old image, insert of the new); rows untouched by the interval —
+    including rows carried through compact/cluster rewrites — appear
+    zero times."""
+    old_snap = table.snapshot(from_snapshot_id)
+    new_snap = (
+        table.snapshot(to_snapshot_id)
+        if to_snapshot_id is not None
+        else table.current_snapshot()
+    )
+
+    old_entries = {e["file_path"]: e for e in table.data_entries(old_snap)}
+    new_entries = {e["file_path"]: e for e in table.data_entries(new_snap)}
+
+    old_only = sorted(set(old_entries) - set(new_entries))
+    new_only = sorted(set(new_entries) - set(old_entries))
+    common = set(old_entries) & set(new_entries)
+
+    # a common file's visible rows changed iff its delete state or the
+    # table's schema replay changed between the endpoints
+    schema_drift = table.schema_ops(old_snap) != table.schema_ops(new_snap)
+    if common and not schema_drift:
+        old_specs = table.delete_key_specs(old_snap)
+        new_specs = table.delete_key_specs(new_snap)
+        if old_specs or new_specs:
+            changed = sorted(
+                p
+                for p in common
+                if _delete_signature(
+                    old_specs, int(old_entries[p].get("sequence") or 0)
+                )
+                != _delete_signature(
+                    new_specs, int(new_entries[p].get("sequence") or 0)
+                )
+            )
+        else:
+            changed = []
+    else:
+        changed = sorted(common) if schema_drift else []
+
+    new_side_paths = new_only + changed
+    old_side_paths = old_only + changed
+
+    new_cols = table.scan(new_snap.snapshot_id).columns
+
+    def read_side(paths: list[str], snap) -> DataFrame | None:
+        if not paths:
+            return None
+        df = table._drop_internal(
+            table._read_files([f"{table.root}/{p}" for p in paths], snap)
+        )
+        # align to the new snapshot's column set: dropped columns
+        # vanish from the changelog, added columns surface as NULL in
+        # pre-evolution row images
+        new_types = dict(
+            table.scan(new_snap.snapshot_id).dtypes
+        )
+        return df.select(
+            *[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(new_types[c]).alias(c)
+                for c in new_cols
+            ]
+        )
+
+    old_df = read_side(old_side_paths, old_snap)
+    new_df = read_side(new_side_paths, new_snap)
+
+    spark = table.spark
+    if old_df is None and new_df is None:
+        empty = table.scan(new_snap.snapshot_id).limit(0)
+        return empty.withColumn(CHANGE_TYPE_COL, F.lit("insert")).limit(0)
+    if old_df is None:  # append-only interval: no anti-join needed
+        return new_df.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+    if new_df is None:  # pure-removal interval
+        return old_df.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+
+    deletes = old_df.exceptAll(new_df).withColumn(
+        CHANGE_TYPE_COL, F.lit("delete")
+    )
+    inserts = new_df.exceptAll(old_df).withColumn(
+        CHANGE_TYPE_COL, F.lit("insert")
+    )
+    return deletes.unionByName(inserts)

@@ -1374,3 +1374,82 @@ def audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vad_segments(planted.drop("sil_frames"), frame_ms=20).orderBy(
         "clip_id"
     )
+
+
+@register(
+    "lakehouse_changelog_cdc",
+    oracle=f"""
+WITH base AS (SELECT * FROM read_parquet('{SCRATCH}/cdc_base/*.parquet')),
+upd AS (SELECT clip_id FROM read_parquet('{SCRATCH}/cdc_upd/*.parquet')),
+del AS (SELECT clip_id FROM read_parquet('{SCRATCH}/cdc_del/*.parquet')),
+ins AS (SELECT * FROM read_parquet('{SCRATCH}/cdc_ins/*.parquet'))
+SELECT clip_id, dur_ms, transcript, change_type FROM (
+  SELECT clip_id, dur_ms, transcript, 'delete' AS change_type
+  FROM base WHERE clip_id IN (SELECT clip_id FROM upd)
+             OR clip_id IN (SELECT clip_id FROM del)
+  UNION ALL
+  SELECT clip_id, dur_ms, transcript || ' v2' AS transcript,
+         'insert' AS change_type
+  FROM base WHERE clip_id IN (SELECT clip_id FROM upd)
+  UNION ALL
+  SELECT clip_id, dur_ms, transcript, 'insert' AS change_type FROM ins
+) ORDER BY clip_id, change_type
+""",
+)
+def lakehouse_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC changelog (cdc.changelog_scan) across a mixed
+    interval: MERGE (30 updates + 15 inserts, copy-on-write) followed
+    by a MOR equality-delete of 20 untouched keys — the delete touches
+    NO data file, so the changelog's manifest-level skip logic must
+    detect the delete-signature drift on otherwise-common files and
+    re-diff exactly those. The oracle predicts the full net diff
+    independently from pre-state + input sidecars: one delete image per
+    updated/deleted key, one insert image per updated key (with the
+    ' v2' transcript) and per inserted row, and NOTHING for the rows
+    merge's copy-on-write carried through rewritten files."""
+    from . import meta as M
+    from .cdc import CHANGE_TYPE_COL, changelog_scan
+    from .merge import delete_keys_mor, merge_into
+    from .synth import synth_clips
+
+    for d in ("cdc", "cdc_base", "cdc_upd", "cdc_del", "cdc_ins"):
+        shutil.rmtree(f"{SCRATCH}/{d}", ignore_errors=True)
+    t = M.create_table(spark, f"{SCRATCH}/cdc")
+    M.append(
+        t,
+        synth_clips(spark, 400, dur_range_ms=(50, 120), parts=8),
+        job_id="seed",
+    )
+    base_id = t.current_snapshot().snapshot_id
+    t.scan().write.mode("overwrite").parquet(f"{SCRATCH}/cdc_base")
+
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    upd_ids, del_ids = ids[100:130], ids[0:20]
+    upd = (
+        t.scan()
+        .filter(F.col("clip_id").isin(upd_ids))
+        .withColumn("transcript", F.concat("transcript", F.lit(" v2")))
+    ).cache()
+    upd.count()
+    ins = synth_clips(spark, 15, seed=9, dur_range_ms=(50, 100)).withColumn(
+        "clip_id", F.concat(F.lit("clip_zz_"), F.col("clip_id"))
+    ).cache()
+    ins.count()
+    upd.select("clip_id").write.mode("overwrite").parquet(f"{SCRATCH}/cdc_upd")
+    ins.write.mode("overwrite").parquet(f"{SCRATCH}/cdc_ins")
+    kdf = spark.createDataFrame([(k,) for k in del_ids], "clip_id string")
+    kdf.write.mode("overwrite").parquet(f"{SCRATCH}/cdc_del")
+
+    merge_into(t, upd.unionByName(ins.select(*upd.columns)), job_id="q-cdc-m")
+    delete_keys_mor(t, kdf, job_id="q-cdc-d")
+
+    return (
+        changelog_scan(t, base_id)
+        .select(
+            "clip_id",
+            "dur_ms",
+            "transcript",
+            F.col(CHANGE_TYPE_COL).alias("change_type"),
+        )
+        .orderBy("clip_id", "change_type")
+    )
