@@ -709,3 +709,140 @@ def vad_segments(
                 yield pd.DataFrame(out)
 
     return clips.mapInPandas(run, schema=VAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# orthogonal-tone spectral probe (dropped-tone detection over real
+# payload bytes — the spectral-fingerprint integrity check)
+# ---------------------------------------------------------------------------
+
+#: analysis window: probe tones sit on exact FFT bins of this window,
+#: so over the first _PROBE_N samples distinct probe tones are EXACTLY
+#: orthogonal (zero spectral leakage — the detection margin is
+#: amp^2·N^2/4 vs int16 quantization noise, ~70 dB, fully deterministic)
+_PROBE_N = 2048
+_PROBE_SLOTS = 4
+
+
+def probe_bins(clip_id: str) -> np.ndarray:
+    """The clip's 4 seeded probe-tone bins — a PUBLIC deterministic
+    function of clip_id (prep and detector both derive it; the sidecar
+    never carries the frequencies, only which tone was dropped). Slot m
+    draws from a disjoint 64-bin band starting at 64 + 96m, so bins are
+    always distinct, ≥64 (no DC/low-frequency encode artifacts) and
+    <416 ≪ N/2 (below Nyquist for every sr)."""
+    seed = clip_seed(clip_id + "::probe")
+    streams = _splitmix64(seed + np.arange(_PROBE_SLOTS, dtype=np.uint64))
+    return 64 + 96 * np.arange(_PROBE_SLOTS) + (
+        streams % np.uint64(64)
+    ).astype(np.int64)
+
+
+def plant_tone_drop(clips: DataFrame) -> DataFrame:
+    """Replace each clip's payload with 3 of its 4 seeded probe tones
+    (the dropped slot is seeded too) re-encoded in the parent codec,
+    and report the planted ``dropped`` slot alongside — write it to a
+    sidecar, then drop the column before handing the clips to
+    :func:`detect_missing_tone`."""
+    from .schema import CLIPS_SCHEMA
+
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    out_schema = T.StructType(
+        CLIPS_SCHEMA.fields + [T.StructField("dropped", T.LongType(), False)]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in it:
+            if len(full) == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+                )
+                continue
+            for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+                pdf = pdf.copy()
+                new_bytes, drops = [], []
+                for cid, sr, dur, codec in zip(
+                    pdf["clip_id"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"]
+                ):
+                    n = max(_PROBE_N, int(int(sr) * int(dur) / 1000))
+                    bins = probe_bins(cid)
+                    j = int(clip_seed(cid + "::drop") % np.uint64(_PROBE_SLOTS))
+                    t = np.arange(n, dtype=np.float64)
+                    sig = np.zeros(n)
+                    for m in range(_PROBE_SLOTS):
+                        if m == j:
+                            continue
+                        amp = 0.15 + 0.02 * m
+                        sig += amp * np.sin(
+                            2 * np.pi * bins[m] * t / _PROBE_N
+                        )
+                    pcm = np.clip(sig * 32767 / 4, -32768, 32767).astype(
+                        np.int16
+                    )
+                    new_bytes.append(
+                        wav_encode(pcm, int(sr))
+                        if codec == "pcm_s16le"
+                        else fake_encode(pcm, codec)
+                    )
+                    drops.append(j)
+                pdf["bytes"] = new_bytes
+                pdf["dropped"] = np.array(drops, np.int64)
+                yield pdf[[f.name for f in out_schema.fields]]
+
+    return clips.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+TONE_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType(), False),
+        T.StructField("missing_tone", T.LongType(), False),
+        T.StructField("margin_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def detect_missing_tone(clips: DataFrame) -> DataFrame:
+    """Detect which of the clip's 4 seeded probe tones is ABSENT from
+    the actual payload: decode, project the first _PROBE_N samples onto
+    the cos/sin basis of each probe bin (one 8×N matmul per clip — the
+    tones are exact-bin so present/absent separate by construction, not
+    statistically), emit argmin-power slot plus a margin flag (weakest
+    present tone ≥ 100× the missing slot's residual — asserts the
+    detection wasn't a coin flip)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(_PROBE_N, dtype=np.float64)
+        for full in it:
+            if len(full) == 0:
+                yield pd.DataFrame(
+                    {
+                        f.name: pd.Series(dtype=object)
+                        for f in TONE_PROBE_SCHEMA.fields
+                    }
+                )
+                continue
+            for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+                out = {c: [] for c in ("clip_id", "missing_tone", "margin_ok")}
+                for cid, b, codec in zip(
+                    pdf["clip_id"], pdf["bytes"], pdf["codec"]
+                ):
+                    x = _decode_safe(b, codec)[:_PROBE_N].astype(np.float64)
+                    if len(x) < _PROBE_N:  # short clip: zero-pad (tones
+                        # stay near-orthogonal; margin flag reports if not)
+                        x = np.pad(x, (0, _PROBE_N - len(x)))
+                    bins = probe_bins(cid)
+                    ang = 2 * np.pi * np.outer(bins, t) / _PROBE_N
+                    basis = np.concatenate([np.cos(ang), np.sin(ang)])
+                    proj = basis @ x
+                    power = proj[:_PROBE_SLOTS] ** 2 + proj[_PROBE_SLOTS:] ** 2
+                    j = int(np.argmin(power))
+                    present = np.delete(power, j)
+                    margin = bool(
+                        present.min() >= 100.0 * max(power[j], 1e-12)
+                    )
+                    out["clip_id"].append(cid)
+                    out["missing_tone"].append(j)
+                    out["margin_ok"].append(margin)
+                yield pd.DataFrame(out)
+
+    return clips.mapInPandas(run, schema=TONE_PROBE_SCHEMA)

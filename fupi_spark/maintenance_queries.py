@@ -1453,3 +1453,35 @@ def lakehouse_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clip_id", "change_type")
     )
+
+
+@register(
+    "audio_tone_probe",
+    oracle=f"""
+SELECT clip_id, dropped AS missing_tone, true AS margin_ok
+FROM read_parquet('{SCRATCH}/probe_sidecar/*.parquet')
+ORDER BY clip_id
+""",
+)
+def audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral dropped-tone detection (audio.detect_missing_tone): a
+    prep op replaces each payload with 3 of its 4 seeded probe tones —
+    tones sit on exact bins of a 2048-sample window, so they are
+    EXACTLY orthogonal over the analysis span — re-encodes in the
+    parent codec, and records only the dropped slot in a sidecar. The
+    detector re-derives the probe frequencies from clip_id, decodes
+    the actual bytes, projects onto each tone's cos/sin basis, and
+    must name the missing slot with a ≥100× power margin on every
+    clip. Any decode slip, bin mis-derivation, or windowing error
+    breaks rows; the margin flag turns a lucky argmin into a failure."""
+    from .audio import detect_missing_tone, plant_tone_drop
+    from .synth import synth_clips
+
+    sidecar = f"{SCRATCH}/probe_sidecar"
+    shutil.rmtree(sidecar, ignore_errors=True)
+    clips = synth_clips(spark, 120, dur_range_ms=(300, 600), parts=4)
+    planted = plant_tone_drop(clips)
+    planted.select("clip_id", "dropped").write.mode("overwrite").parquet(
+        sidecar
+    )
+    return detect_missing_tone(planted.drop("dropped")).orderBy("clip_id")

@@ -187,3 +187,29 @@ class TestVad:
         df = spark.createDataFrame(row, CLIPS_SCHEMA)
         r = vad_segments(df).collect()[0]
         assert r.n_frames == 0 and r.first_voiced is None and r.n_voiced == 0
+
+
+def test_tone_probe_roundtrip_local(spark):
+    """plant_tone_drop → detect_missing_tone recovers every planted
+    slot with the orthogonality margin, across codecs."""
+    from fupi_spark.audio import detect_missing_tone, plant_tone_drop
+    from fupi_spark.synth import synth_clips
+
+    clips = synth_clips(spark, 40, dur_range_ms=(300, 500), parts=2)
+    planted = plant_tone_drop(clips).cache()
+    spec = {r.clip_id: r.dropped for r in planted.select("clip_id", "dropped").collect()}
+    got = detect_missing_tone(planted.drop("dropped")).collect()
+    assert len(got) == 40
+    for r in got:
+        assert r.missing_tone == spec[r.clip_id], r.clip_id
+        assert r.margin_ok, r.clip_id
+    planted.unpersist()
+
+
+def test_probe_bins_disjoint_and_nyquist_safe():
+    from fupi_spark.audio import probe_bins
+
+    for cid in ("a", "b", "clip_000123", "zz"):
+        b = probe_bins(cid)
+        assert len(set(b.tolist())) == 4
+        assert b.min() >= 64 and b.max() < 416
