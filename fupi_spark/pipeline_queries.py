@@ -1383,16 +1383,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rerank distance share expression text with the oracle
     (bitwise-equal doubles); vec_id breaks ties."""
     emb = load(spark, sf_dir, "embeddings")
-    celled = emb.selectExpr(
+    # _l2_col, not the unrolled _l2_sql text: 4 centroids x 64 unrolled
+    # terms in ONE projection blew janino's 64 KB method limit and the
+    # whole stage fell back to interpreted mode; the zip_with+aggregate
+    # fold is bitwise-identical to the unrolled left-associative sum
+    # (tested) and keeps the generated code a fixed-size loop, so the
+    # oracle's unrolled SQL is unchanged and codegen survives any K/dim
+    celled = emb.select(
         "vec_id",
         "embedding",
-        f"{_l2_sql('embedding', _IVF_CENTROIDS[0], 'spark')} AS d0",
-        f"{_l2_sql('embedding', _IVF_CENTROIDS[1], 'spark')} AS d1",
-        f"{_l2_sql('embedding', _IVF_CENTROIDS[2], 'spark')} AS d2",
-        f"{_l2_sql('embedding', _IVF_CENTROIDS[3], 'spark')} AS d3",
+        _l2_col("embedding", _IVF_CENTROIDS[0]).alias("d0"),
+        _l2_col("embedding", _IVF_CENTROIDS[1]).alias("d1"),
+        _l2_col("embedding", _IVF_CENTROIDS[2]).alias("d2"),
+        _l2_col("embedding", _IVF_CENTROIDS[3]).alias("d3"),
     ).selectExpr("vec_id", "embedding", f"{_ivf_cell_sql('spark')} AS cell")
     probed = celled.filter(F.col("cell").isin(_IVF_PROBES))
-    dist = F.expr(_l2_sql("embedding", QUERY_VEC, "spark"))
+    dist = _l2_col("embedding", QUERY_VEC)
     return (
         probed.withColumn("_d", dist)
         .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
