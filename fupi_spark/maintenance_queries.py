@@ -1485,3 +1485,109 @@ def audio_tone_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sidecar
     )
     return detect_missing_tone(planted.drop("dropped")).orderBy("clip_id")
+
+
+@register(
+    "lakehouse_incremental_agg_refresh",
+    oracle=f"""
+SELECT codec,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(dur_ms) AS BIGINT) AS sum_dur_ms
+FROM read_parquet('{SCRATCH}/cdcagg/data/*.parquet')
+GROUP BY codec ORDER BY codec
+""",
+)
+def lakehouse_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the CDC changelog: materialize
+    a per-codec aggregate, run MERGE (20 updates changing dur_ms + 10
+    inserts) and a MOR delete of 15 keys, then REFRESH the aggregate
+    from the materialized base plus the changelog's +/- deltas alone —
+    the refresh never re-scans the table. The oracle recomputes the
+    aggregate directly from the final data files (a cluster() first
+    materializes the MOR delete so the physical bytes ARE the final
+    state): two genuinely different computation paths must agree. At
+    10^12 rows this is the only affordable way to keep a downstream
+    aggregate fresh — the delta reads only the interval's changed
+    files, the base is never touched."""
+    from . import meta as M
+    from .cdc import CHANGE_TYPE_COL, changelog_scan
+    from .cluster import cluster
+    from .merge import delete_keys_mor, merge_into
+    from .synth import synth_clips
+
+    for d in ("cdcagg", "cdcagg_mv"):
+        shutil.rmtree(f"{SCRATCH}/{d}", ignore_errors=True)
+    t = M.create_table(spark, f"{SCRATCH}/cdcagg")
+    M.append(
+        t,
+        synth_clips(spark, 400, dur_range_ms=(50, 120), parts=8),
+        job_id="seed",
+    )
+    base_id = t.current_snapshot().snapshot_id
+    # the materialized view: computed once at base, persisted
+    t.scan().groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("dur_ms").cast("bigint").alias("sum_dur_ms"),
+    ).write.mode("overwrite").parquet(f"{SCRATCH}/cdcagg_mv")
+
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    upd = (
+        t.scan()
+        .filter(F.col("clip_id").isin(ids[50:70]))
+        .withColumn("dur_ms", F.col("dur_ms") + F.lit(7))
+    ).cache()
+    upd.count()
+    ins = synth_clips(spark, 10, seed=5, dur_range_ms=(50, 100)).withColumn(
+        "clip_id", F.concat(F.lit("clip_zz_"), F.col("clip_id"))
+    )
+    merge_into(t, upd.unionByName(ins.select(*upd.columns)), job_id="q-agg-m")
+    kdf = spark.createDataFrame([(k,) for k in ids[:15]], "clip_id string")
+    delete_keys_mor(t, kdf, job_id="q-agg-d")
+    # materialize the delete so the oracle's physical-file recompute
+    # sees the final state (net-zero for the changelog — tested), then
+    # GC so the physical listing equals the live set — BUT snapshot
+    # expiry must not break the changelog's from-snapshot: keep the
+    # base pinned with a tag (the production pattern for changelog
+    # consumers: tag your baseline, expire freely)
+    t.set_tag("agg-base", base_id)
+    cluster(t, curve="linear", target_bytes=1 << 19, job_id="q-agg-z")
+
+    sign = F.when(F.col(CHANGE_TYPE_COL) == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        changelog_scan(t, base_id)
+        .groupBy("codec")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(sign * F.col("dur_ms")).cast("bigint").alias("ddur"),
+        )
+    )
+    mv = spark.read.parquet(f"{SCRATCH}/cdcagg_mv")
+    refreshed = (
+        mv.join(delta, "codec", "full_outer")
+        .select(
+            "codec",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                F.coalesce("sum_dur_ms", F.lit(0))
+                + F.coalesce("ddur", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("sum_dur_ms"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("codec")
+    )
+    # materialize the refreshed view (what an IVM pipeline persists),
+    # THEN release the baseline tag and GC: the changelog's base files
+    # are only needed until the delta is consumed, and the oracle's
+    # physical-dir recompute requires listing == live set
+    refreshed.write.mode("overwrite").parquet(f"{SCRATCH}/cdcagg_out")
+    t.delete_tag("agg-base")
+    from .expire import expire_snapshots
+
+    expire_snapshots(t, retain_last=1)
+    return spark.read.parquet(f"{SCRATCH}/cdcagg_out").orderBy("codec")
