@@ -1591,3 +1591,75 @@ def lakehouse_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataF
 
     expire_snapshots(t, retain_last=1)
     return spark.read.parquet(f"{SCRATCH}/cdcagg_out").orderBy("codec")
+
+
+@register(
+    "lakehouse_bloom_point_lookup",
+    oracle=f"""
+WITH pre AS (SELECT * FROM read_parquet('{SCRATCH}/bloom_pre/*.parquet')),
+probes AS (SELECT * FROM read_parquet('{SCRATCH}/bloom_probes/*.parquet'))
+SELECT p.probe_key,
+       CAST(COUNT(pre.clip_id) AS BIGINT) AS n_found,
+       CAST(COALESCE(MAX(pre.dur_ms), -1) AS BIGINT) AS dur_ms,
+       CAST(CASE WHEN COUNT(pre.clip_id) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS files_read,
+       CAST(8 AS BIGINT) AS files_total
+FROM probes p LEFT JOIN pre ON pre.clip_id = p.probe_key
+GROUP BY p.probe_key
+ORDER BY p.probe_key
+""",
+)
+def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookup on an UNCLUSTERED table — the case
+    min/max stats pruning cannot touch (every file's clip_id range
+    spans the key space after a plain append). The engine builds the
+    per-file bloom sidecar, then answers 6 present + 2 absent probes;
+    the oracle predicts per key BOTH the payload (from the pre-state
+    sidecar) and the pruning arithmetic itself: a present unique key
+    must read exactly 1 of the 8 files, an absent key exactly 0 —
+    deterministic because the md5 probe positions and the fixed corpus
+    make false positives a reproducible (and here absent) event, not a
+    random one."""
+    from . import meta as M
+    from .bloom import point_lookup, refresh_bloom_index
+    from .synth import synth_clips
+
+    for d in ("bloom", "bloom_pre", "bloom_probes"):
+        shutil.rmtree(f"{SCRATCH}/{d}", ignore_errors=True)
+    t = M.create_table(spark, f"{SCRATCH}/bloom")
+    M.append(
+        t,
+        synth_clips(spark, 400, dur_range_ms=(50, 120), parts=8),
+        job_id="seed",
+    )
+    t.scan().select("clip_id", "dur_ms").write.mode("overwrite").parquet(
+        f"{SCRATCH}/bloom_pre"
+    )
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    probes = [ids[i] for i in (3, 77, 150, 222, 301, 388)] + [
+        "absent_key_a",
+        "absent_key_b",
+    ]
+    spark.createDataFrame(
+        [(p,) for p in probes], "probe_key string"
+    ).write.mode("overwrite").parquet(f"{SCRATCH}/bloom_probes")
+
+    refresh_bloom_index(t, "clip_id")
+    rows = []
+    for p in probes:
+        df, files_read, total = point_lookup(t, "clip_id", p)
+        hits = df.select("clip_id", "dur_ms").collect()
+        rows.append(
+            (
+                p,
+                len(hits),
+                int(hits[0].dur_ms) if hits else -1,
+                files_read,
+                total,
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "probe_key string, n_found bigint, dur_ms bigint, "
+        "files_read bigint, files_total bigint",
+    )
