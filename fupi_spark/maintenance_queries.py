@@ -1663,3 +1663,99 @@ def lakehouse_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_key string, n_found bigint, dur_ms bigint, "
         "files_read bigint, files_total bigint",
     )
+
+
+@register(
+    "lakehouse_cluster_quality",
+    oracle=f"""
+WITH m AS (
+  SELECT phase, file_path, min_clip_id, max_clip_id
+  FROM read_parquet('{SCRATCH}/cq_manifests/pre/*.parquet')
+),
+ov AS (
+  SELECT a.phase, a.file_path,
+         COUNT(b.file_path) AS n_overlaps
+  FROM m a JOIN m b
+    ON a.phase = b.phase AND a.file_path <> b.file_path
+   AND a.min_clip_id <= b.max_clip_id AND b.min_clip_id <= a.max_clip_id
+  GROUP BY a.phase, a.file_path
+),
+f AS (SELECT phase, COUNT(*) AS n_files FROM m GROUP BY phase)
+SELECT f.phase, f.n_files,
+       CAST(COALESCE(SUM(ov.n_overlaps), 0) AS BIGINT) AS overlap_pairs
+FROM f LEFT JOIN ov ON f.phase = ov.phase
+GROUP BY f.phase, f.n_files
+ORDER BY f.phase
+""",
+)
+def lakehouse_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality observability from manifest arithmetic alone
+    (zero data reads — the table-health report a 10^12-row operator
+    watches): for each file, how many OTHER files' [min,max] key
+    ranges intersect it. A plain append leaves every file overlapping
+    every other (pre phase); a Z-order cluster() produces disjoint or
+    near-disjoint leading-key ranges (post phase) — the drop in
+    overlap_pairs IS the measured clustering benefit, the same number
+    that predicts stats-pruning fan-in. Engine computes the metric as
+    a distributed self-join over manifest_df; the oracle recomputes it
+    from manifest snapshots with independent SQL. At 10^6+ files the
+    same plan runs over the banded range-join composition
+    (events_range_join) instead of the raw self-join."""
+    from . import meta as M
+    from .cluster import cluster
+    from .synth import synth_clips
+
+    shutil.rmtree(f"{SCRATCH}/cq", ignore_errors=True)
+    shutil.rmtree(f"{SCRATCH}/cq_manifests", ignore_errors=True)
+    t = M.create_table(spark, f"{SCRATCH}/cq")
+    M.append(
+        t,
+        synth_clips(spark, 500, dur_range_ms=(50, 120), parts=10),
+        job_id="seed",
+    )
+
+    def manifest_phase(phase: str):
+        return (
+            t.manifest_df()
+            .filter(
+                (F.col("content").isNull()) | (F.col("content") == "data")
+            )
+            .select(
+                F.lit(phase).alias("phase"),
+                "file_path",
+                "min_clip_id",
+                "max_clip_id",
+            )
+        )
+
+    pre = manifest_phase("a_pre")
+    pre.write.mode("overwrite").parquet(f"{SCRATCH}/cq_manifests/pre")
+    cluster(t, curve="zorder", target_bytes=1 << 18, job_id="q-cq-z")
+    post = manifest_phase("b_post")
+    post.write.mode("append").parquet(f"{SCRATCH}/cq_manifests/pre")
+
+    m = spark.read.parquet(f"{SCRATCH}/cq_manifests/pre")
+    a, b = m.alias("a"), m.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.phase") == F.col("b.phase"))
+            & (F.col("a.file_path") != F.col("b.file_path"))
+            & (F.col("a.min_clip_id") <= F.col("b.max_clip_id"))
+            & (F.col("b.min_clip_id") <= F.col("a.max_clip_id")),
+        )
+        .groupBy(F.col("a.phase").alias("phase"))
+        .agg(F.count(F.lit(1)).alias("overlap_pairs"))
+    )
+    files = m.groupBy("phase").agg(F.count(F.lit(1)).alias("n_files"))
+    return (
+        files.join(ov, "phase", "left_outer")
+        .select(
+            "phase",
+            "n_files",
+            F.coalesce("overlap_pairs", F.lit(0)).cast("bigint").alias(
+                "overlap_pairs"
+            ),
+        )
+        .orderBy("phase")
+    )

@@ -1720,3 +1720,106 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination detection: the pre-training hygiene check —
+# which training documents share discriminative n-grams with the
+# held-out evaluation set (benchmark leakage)
+# ---------------------------------------------------------------------------
+
+_CONTAM_MIN_SHARED = 3  # shared 3-grams below this are coincidence
+
+from .corpus_ops import _SPLIT_PREFIX_LT as _CONTAM_SPLIT_LT
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH {_DUCK_SHINGLES},
+ds0 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+hot AS (SELECT shingle FROM ds0 GROUP BY shingle HAVING COUNT(*) > {JACCARD_DF_CAP}),
+ds AS (SELECT * FROM ds0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_CONTAM_SPLIT_LT}'
+              THEN 'holdout' ELSE 'train' END AS split
+  FROM documents
+),
+tr AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN lab ON ds.doc_id = lab.doc_id
+       WHERE lab.split = 'train'),
+ho AS (SELECT ds.doc_id, ds.shingle FROM ds JOIN lab ON ds.doc_id = lab.doc_id
+       WHERE lab.split = 'holdout'),
+pairs AS (
+  SELECT tr.doc_id AS train_doc, ho.doc_id AS eval_doc, COUNT(*) AS n_shared
+  FROM tr JOIN ho ON tr.shingle = ho.shingle
+  GROUP BY tr.doc_id, ho.doc_id
+)
+SELECT train_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_partners,
+       CAST(SUM(n_shared) AS BIGINT) AS shared_total,
+       CAST(MAX(n_shared) AS BIGINT) AS max_shared
+FROM pairs WHERE n_shared >= {_CONTAM_MIN_SHARED}
+GROUP BY train_doc
+ORDER BY shared_total DESC, train_doc
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: training documents that share
+    >= {mins} discriminative 3-gram shingles with any held-out
+    evaluation document (the split is corpus_ops' reproducible md5
+    carve-out, so train/eval membership is engine-independent).
+
+    Scale shape: the SAME inverted-index join as dedup_jaccard_ngram —
+    hot shingles are capped BEFORE the join so a stopword 3-gram can't
+    go quadratic, and the join is train-side x eval-side (the eval set
+    is typically ~1% of the corpus, so the build side is small and
+    broadcastable at any corpus size — contamination against a fixed
+    benchmark suite is a broadcast join even at 100 TB). Integer
+    outputs only (counts), so the oracle hashes bit-for-bit."""
+    from .corpus_ops import _SPLIT_PREFIX_LT
+
+    docs = load(spark, sf_dir, "documents")
+    ds0 = _spark_shingles(docs).distinct()
+    hot = (
+        ds0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    ds = ds0.join(hot, "shingle", "left_anti")
+    lab = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < _SPLIT_PREFIX_LT,
+            F.lit("holdout"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    labeled = ds.join(lab, "doc_id")
+    tr = labeled.filter(F.col("split") == "train").select("doc_id", "shingle")
+    ho = labeled.filter(F.col("split") == "holdout").select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    pairs = (
+        tr.join(F.broadcast(ho), "shingle")
+        .groupBy(F.col("doc_id").alias("train_doc"), "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+    )
+    return (
+        pairs.groupBy("train_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_partners"),
+            F.sum("n_shared").alias("shared_total"),
+            F.max("n_shared").alias("max_shared"),
+        )
+        .orderBy(F.desc("shared_total"), "train_doc")
+    )
+
+
+contamination_check.__doc__ = contamination_check.__doc__.format(
+    mins=_CONTAM_MIN_SHARED
+)
