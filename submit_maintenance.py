@@ -13,7 +13,7 @@ Ops:
     compact | cluster | cluster-incremental | merge-demo | expire |
     verify | delete --where <pred> | set-tag/delete-tag --tag <name> |
     delete-mor --keys k1,k2,... | consolidate-deletes |
-    wap-append --clips N
+    wap-append --clips N | bloom-refresh | changelog --from-snapshot N
               individual maintenance jobs against an existing table;
               --job-id makes retries of a committed job no-ops
 
@@ -40,6 +40,7 @@ def main() -> int:
             "pipeline", "compact", "cluster", "cluster-incremental",
             "merge-demo", "expire", "verify", "delete", "set-tag",
             "delete-tag", "delete-mor", "consolidate-deletes", "wap-append",
+            "bloom-refresh", "changelog",
         ],
     )
     p.add_argument("--clips", type=int, default=2000)
@@ -54,6 +55,9 @@ def main() -> int:
     p.add_argument("--keys", help="comma-separated key values for --op delete-mor")
     p.add_argument(
         "--key-column", default="clip_id", help="key column for --op delete-mor"
+    )
+    p.add_argument(
+        "--from-snapshot", type=int, help="base snapshot for --op changelog"
     )
     p.add_argument(
         "--consolidate-after",
@@ -174,6 +178,25 @@ def main() -> int:
             batch = synth_clips(spark, args.clips, dur_range_ms=(100, 500))
             r = audited_append(t, batch, snr_audit(), job_id=args.job_id)
             report["wap"] = r
+        elif args.op == "bloom-refresh":
+            from fupi_spark.bloom import refresh_bloom_index
+
+            report["bloom"] = refresh_bloom_index(t, args.key_column)
+        elif args.op == "changelog":
+            assert args.from_snapshot, "--op changelog requires --from-snapshot"
+            from fupi_spark.cdc import CHANGE_TYPE_COL, changelog_scan
+
+            log = changelog_scan(t, args.from_snapshot)
+            counts = {
+                r[CHANGE_TYPE_COL]: r["n"]
+                for r in log.groupBy(CHANGE_TYPE_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            report["changelog"] = {
+                "inserts": counts.get("insert", 0),
+                "deletes": counts.get("delete", 0),
+            }
         elif args.op == "expire":
             report["report"] = expire_snapshots(t, retain_last=args.retain_last)
         elif args.op == "verify":

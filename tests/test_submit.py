@@ -108,3 +108,32 @@ def test_submit_mor_wap_ops(spark, tmp_path):
     t = meta.load_table(spark, table)
     assert t.scan().count() == 120 - 9 + 40
     assert "published" in t.tags()
+
+
+def test_submit_bloom_and_changelog_ops(spark, tmp_path):
+    """The r5 additions: bloom-refresh and changelog through the real
+    entry point."""
+    from fupi_spark import meta
+    from fupi_spark.synth import synth_clips
+
+    table = str(tmp_path / "t4")
+    t = meta.create_table(spark, table)
+    meta.append(t, synth_clips(spark, 100, dur_range_ms=(50, 100), parts=4), job_id="seed")
+    base = t.current_snapshot().snapshot_id
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+
+    def run(*extra):
+        out = subprocess.run(
+            [os.sys.executable, os.path.join(REPO, "submit_maintenance.py"),
+             "--table", table, *extra],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r1 = run("--op", "bloom-refresh")
+    assert r1["bloom"] == {"indexed": 4, "kept": 0, "files": 4}
+
+    run("--op", "delete-mor", "--keys", ",".join(ids[:3]), "--job-id", "dm1")
+    r2 = run("--op", "changelog", "--from-snapshot", str(base))
+    assert r2["changelog"] == {"inserts": 0, "deletes": 3}
