@@ -116,6 +116,8 @@ def changelog_scan(
     old_side_paths = old_only + changed
 
     new_cols = table.scan(new_snap.snapshot_id).columns
+    ops_old = table.schema_ops(old_snap)
+    ops_new = table.schema_ops(new_snap)
 
     def read_side(paths: list[str], snap) -> DataFrame | None:
         if not paths:
@@ -123,9 +125,19 @@ def changelog_scan(
         df = table._drop_internal(
             table._read_files([f"{table.root}/{p}" for p in paths], snap)
         )
-        # align to the new snapshot's column set: dropped columns
-        # vanish from the changelog, added columns surface as NULL in
-        # pre-evolution row images
+        if schema_drift and snap is old_snap:
+            if ops_new[: len(ops_old)] == ops_old:
+                # ops are inherited append-only, so the old snapshot's
+                # replay is a prefix of the new one's: replaying the
+                # SUFFIX expresses old row images exactly in the new
+                # schema (renames carry values; adds fill their declared
+                # default) — a rename-only interval then nets to zero
+                from .evolve import apply_schema_ops
+
+                df = apply_schema_ops(df, ops_new[len(ops_old):])
+            # else (rollback rewrote history): fall through to the
+            # name-based align below — dropped/unmatched columns vanish,
+            # new columns surface as NULL in pre-evolution row images
         new_types = dict(
             table.scan(new_snap.snapshot_id).dtypes
         )

@@ -108,3 +108,40 @@ def test_empty_interval(spark, tmp_path):
     t = make_table(spark, str(tmp_path / "t"), n=40, parts=2)
     base = t.current_snapshot().snapshot_id
     assert _changes(t, base, base) == []
+
+
+def test_schema_drift_rename_only_nets_zero(spark, tmp_path):
+    """A rename-only interval changes no row VALUES: the changelog
+    replays the schema-op suffix over old images (ops are inherited
+    append-only), so the diff cancels exactly — no churn from a
+    metadata-only evolution."""
+    from fupi_spark.evolve import rename_column
+
+    t = make_table(spark, str(tmp_path / "t"), n=50, parts=2)
+    base = t.current_snapshot().snapshot_id
+    rename_column(t, "transcript", "text")
+    assert _changes(t, base) == []
+
+
+def test_schema_drift_add_column_with_update(spark, tmp_path):
+    """add-column (default) plus one real update: the changelog emits
+    ONLY the updated row's pair, expressed in the NEW schema — old
+    images carry the declared default for the added column."""
+    from fupi_spark.evolve import add_column
+
+    t = make_table(spark, str(tmp_path / "t"), n=40, parts=2)
+    base = t.current_snapshot().snapshot_id
+    add_column(t, "lang", "string", default="en")
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    upd = (
+        t.scan()
+        .filter(F.col("clip_id") == ids[0])
+        .withColumn("transcript", F.concat("transcript", F.lit(" v2")))
+    )
+    merge_into(t, upd, job_id="m1")
+    log = changelog_scan(t, base)
+    assert "lang" in log.columns
+    rows = sorted(
+        (r.clip_id, r[CHANGE_TYPE_COL], r.lang) for r in log.collect()
+    )
+    assert rows == [(ids[0], "delete", "en"), (ids[0], "insert", "en")]
