@@ -67,7 +67,9 @@ _INDEX_SCHEMA = T.StructType(
     [
         T.StructField("file_path", T.StringType(), False),
         T.StructField("bitset", T.BinaryType(), False),
-        T.StructField("n_keys", T.LongType(), False),
+        # set-bit count: fill ratio (n_bits/m) gives the file's
+        # false-positive rate estimate ((n_bits/m)^k) for free
+        T.StructField("n_bits", T.LongType(), False),
     ]
 )
 
@@ -79,32 +81,62 @@ def refresh_bloom_index(table, col: str) -> dict:
     files no longer live. Returns {'indexed': new, 'kept': reused,
     'files': total_live}."""
     spark = table.spark
-    live = [e["file_path"] for e in table.data_entries()]
-    existing: dict[str, object] = {}
+    live = set(e["file_path"] for e in table.data_entries())
+    existing: dict[str, tuple] = {}
     idx_dir = f"{table.root}/{INDEX_REL}"
     try:
         old = spark.read.parquet(idx_dir).collect()
-        existing = {r.file_path: r for r in old if r.file_path in set(live)}
+        existing = {
+            r.file_path: (r.file_path, bytes(r.bitset), int(r.n_bits))
+            for r in old
+            if r.file_path in live
+        }
     except Exception:
         existing = {}
-    todo = [p for p in live if p not in existing]
+    todo = sorted(p for p in live if p not in existing)
 
-    rows = []
+    rows: list[tuple] = list(existing.values())
     if todo:
-        df = (
-            spark.read.parquet(*[f"{table.root}/{p}" for p in todo])
-            .select(
-                F.col(col).cast("string").alias("_key"),
-                F.input_file_name().alias("_file"),
+        df = spark.read.parquet(
+            *[f"{table.root}/{p}" for p in todo]
+        ).select(
+            F.col(col).cast("string").alias("_key"),
+            F.input_file_name().alias("_file"),
+        )
+        # hash to bit positions JVM-side (md5 inside codegen — the
+        # same bytes hashlib computes in probe_positions), then
+        # distinct: the shuffle carries at most m=BLOOM_BITS
+        # (file, position) pairs per file, and each applyInPandas
+        # group is bounded by the bitset size — never by the file's
+        # row count
+        probe = F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.col("_key"), F.lit(f"|{i}"))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % BLOOM_BITS
+                    )
+                    for i in range(BLOOM_K)
+                ]
             )
+        )
+        pos_df = (
+            df.select("_file", probe.alias("_pos")).distinct()
         )
 
         root = table.root
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             bits = np.zeros(BLOOM_BITS, bool)
-            pos = _positions(pdf["_key"].to_numpy())
-            bits[pos.ravel()] = True
+            bits[pdf["_pos"].to_numpy()] = True
             # normalize the absolute input_file_name URI back to the
             # manifest-relative path ("file:///.../table/data/x.parquet"
             # -> "data/x.parquet")
@@ -114,21 +146,21 @@ def refresh_bloom_index(table, col: str) -> dict:
                 {
                     "file_path": [rel],
                     "bitset": [np.packbits(bits).tobytes()],
-                    "n_keys": [len(pdf)],
+                    "n_bits": [int(bits.sum())],
                 }
             )
 
-        new_rows = (
-            df.groupBy("_file")
+        rows.extend(
+            (r.file_path, bytes(r.bitset), int(r.n_bits))
+            for r in pos_df.groupBy("_file")
             .applyInPandas(build, schema=_INDEX_SCHEMA)
             .collect()
         )
-        rows.extend(new_rows)
-    rows.extend(existing.values())
 
-    out = spark.createDataFrame(rows, _INDEX_SCHEMA) if rows else None
-    if out is not None:
-        out.coalesce(1).write.mode("overwrite").parquet(idx_dir)
+    if rows:
+        spark.createDataFrame(rows, _INDEX_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(idx_dir)
     return {"indexed": len(todo), "kept": len(existing), "files": len(live)}
 
 
