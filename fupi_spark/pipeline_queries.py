@@ -1823,3 +1823,68 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 contamination_check.__doc__ = contamination_check.__doc__.format(
     mins=_CONTAM_MIN_SHARED
 )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary construction: top-k tokens with cumulative corpus coverage
+# (the tokenizer-vocab sizing curve — how much of the corpus the first
+# k vocabulary entries explain)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 50
+
+
+@register(
+    "vocab_topk_coverage",
+    oracle=f"""
+WITH {_DUCK_TOKS},
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token),
+tot AS (SELECT SUM(n) AS t FROM c),
+top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT {_VOCAB_K})
+SELECT token, n,
+       CAST((SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)
+             * 1000000) // t AS BIGINT) AS coverage_e6
+FROM top, tot
+ORDER BY n DESC, token
+""",
+)
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing curve: the {k} most frequent whitespace tokens
+    with each prefix's cumulative corpus coverage (scaled-integer parts
+    per million — ``cum*1e6 div total`` stays in BIGINT arithmetic, so
+    both engines hash identically).
+
+    Scale shape: token counting is a map-side-combined groupBy (the
+    heavy pass — shuffle volume is the distinct vocabulary, not the
+    corpus); the top-k is TakeOrderedAndProject; the running-coverage
+    window runs over only k rows AFTER the limit, so the
+    single-partition window is k-bounded at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        _spark_toks(docs)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    top = counts.orderBy(F.desc("n"), "token").limit(_VOCAB_K)
+    w = W.orderBy(F.desc("n"), "token").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            (F.sum("n").over(w) * 1000000).alias("_cum"),
+            "t",
+        )
+        .select(
+            "token",
+            "n",
+            F.expr("_cum div t").cast("bigint").alias("coverage_e6"),
+        )
+        .orderBy(F.desc("n"), "token")
+    )
+
+
+vocab_topk_coverage.__doc__ = vocab_topk_coverage.__doc__.format(k=_VOCAB_K)
