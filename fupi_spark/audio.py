@@ -846,3 +846,61 @@ def detect_missing_tone(clips: DataFrame) -> DataFrame:
                 yield pd.DataFrame(out)
 
     return clips.mapInPandas(run, schema=TONE_PROBE_SCHEMA)
+
+
+def trim_silence(
+    clips: DataFrame, frame_ms: int = 20, threshold: float = 1.0
+) -> DataFrame:
+    """Drop each clip's leading silent FULL frames (same framing and
+    RMS rule as :func:`vad_segments`) from the actual payload,
+    re-encode in the parent codec, and update ``dur_ms`` to the
+    trimmed length (``n_samples * 1000 div sr``). A clip with no
+    voiced frame loses all its full frames (the unstable trailing
+    partial frame is kept, mirroring vad_segments' contract). Built to
+    ride :func:`transform.transform_payloads` as a payload-mutating
+    table rewrite."""
+    from .schema import CLIPS_SCHEMA
+
+    cols = [f.name for f in CLIPS_SCHEMA.fields]
+    extra = [c for c in clips.columns if c not in cols]
+    out_schema = clips.schema
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in it:
+            if len(full) == 0:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in out_schema.fields}
+                )
+                continue
+            for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
+                pdf = pdf.copy()
+                new_bytes, new_dur = [], []
+                for b, sr, codec in zip(
+                    pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+                ):
+                    pcm = _decode_safe(b, codec)
+                    fs = max(1, int(sr) * frame_ms // 1000)
+                    k = len(pcm) // fs
+                    trim = k
+                    if k > 0:
+                        x = pcm[: k * fs].astype(np.float64)
+                        cs = np.zeros(k * fs + 1)
+                        np.cumsum(x * x, out=cs[1:])
+                        sums = (
+                            cs[np.arange(1, k + 1) * fs]
+                            - cs[np.arange(k) * fs]
+                        )
+                        voiced = np.sqrt(sums / fs) >= threshold
+                        trim = int(np.argmax(voiced)) if voiced.any() else k
+                    out = pcm[trim * fs :]
+                    new_bytes.append(
+                        wav_encode(out, int(sr))
+                        if codec == "pcm_s16le"
+                        else fake_encode(out, codec)
+                    )
+                    new_dur.append(len(out) * 1000 // int(sr))
+                pdf["bytes"] = new_bytes
+                pdf["dur_ms"] = np.array(new_dur, np.int32)
+                yield pdf[[f.name for f in out_schema.fields]]
+
+    return clips.mapInPandas(run, schema=out_schema)

@@ -1759,3 +1759,69 @@ def lakehouse_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+@register(
+    "audio_silence_trim_rewrite",
+    oracle=f"""
+WITH s AS (
+  SELECT clip_id, sr_hz, sil_frames,
+         GREATEST(1, (sr_hz * dur_ms) // 1000) AS n0,
+         GREATEST(1, (sr_hz * 20) // 1000) AS fs
+  FROM read_parquet('{SCRATCH}/trim_sidecar/*.parquet')
+),
+d AS (
+  SELECT clip_id, sr_hz, fs, n0 // fs AS k,
+         LEAST(sil_frames, n0 // fs) AS trim, n0
+  FROM s
+)
+SELECT clip_id,
+       CAST(((n0 - trim * fs) * 1000) // sr_hz AS INT) AS dur_ms,
+       CAST(k - trim AS BIGINT) AS n_frames,
+       CAST(CASE WHEN k - trim > 0 THEN 0 ELSE NULL END AS BIGINT)
+         AS first_voiced,
+       CAST(k - trim AS BIGINT) AS n_voiced
+FROM d ORDER BY clip_id
+""",
+)
+def audio_silence_trim_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-MUTATING maintenance rewrite (transform.transform_payloads
+    + audio.trim_silence): plant an exact seeded silence prefix, load
+    the clips into a table, run the silence-trim rewrite as a committed
+    replacing snapshot (lineage, idempotent job id, CRC recompute),
+    then audit the table's ACTUAL post-rewrite bytes with the energy
+    VAD and the updated dur_ms column. The oracle predicts every number
+    from the planted-spec sidecar alone: trimmed duration
+    ((n0 - sil*fs)*1000 div sr), remaining frame count, first voiced
+    frame 0 (NULL when the clip had no voiced frame), all frames
+    voiced. Any framing slip, re-encode corruption, or stale dur_ms
+    breaks rows."""
+    from . import meta as M
+    from .audio import plant_silence, trim_silence, vad_segments
+    from .synth import synth_clips
+    from .transform import transform_payloads
+
+    for d in ("trim", "trim_sidecar"):
+        shutil.rmtree(f"{SCRATCH}/{d}", ignore_errors=True)
+    clips = synth_clips(spark, 150, dur_range_ms=(300, 700), parts=6)
+    planted = plant_silence(clips, frame_ms=20)
+    planted.select("clip_id", "sr_hz", "dur_ms", "sil_frames").write.mode(
+        "overwrite"
+    ).parquet(f"{SCRATCH}/trim_sidecar")
+
+    t = M.create_table(spark, f"{SCRATCH}/trim")
+    M.append(t, planted.drop("sil_frames"), job_id="seed", parts=6)
+    transform_payloads(
+        t,
+        lambda df: trim_silence(df, frame_ms=20),
+        job_id="q-trim",
+        operation="trim",
+    )
+
+    scan = t.scan()
+    vad = vad_segments(scan, frame_ms=20)
+    return (
+        vad.join(scan.select("clip_id", "dur_ms"), "clip_id")
+        .select("clip_id", "dur_ms", "n_frames", "first_voiced", "n_voiced")
+        .orderBy("clip_id")
+    )
