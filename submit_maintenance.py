@@ -13,7 +13,8 @@ Ops:
     compact | cluster | cluster-incremental | merge-demo | expire |
     verify | delete --where <pred> | set-tag/delete-tag --tag <name> |
     delete-mor --keys k1,k2,... | consolidate-deletes |
-    wap-append --clips N | bloom-refresh | changelog --from-snapshot N
+    wap-append --clips N | bloom-refresh | changelog --from-snapshot N |
+    trim-silence
               individual maintenance jobs against an existing table;
               --job-id makes retries of a committed job no-ops
 
@@ -40,7 +41,7 @@ def main() -> int:
             "pipeline", "compact", "cluster", "cluster-incremental",
             "merge-demo", "expire", "verify", "delete", "set-tag",
             "delete-tag", "delete-mor", "consolidate-deletes", "wap-append",
-            "bloom-refresh", "changelog",
+            "bloom-refresh", "changelog", "trim-silence",
         ],
     )
     p.add_argument("--clips", type=int, default=2000)
@@ -197,6 +198,18 @@ def main() -> int:
                 "inserts": counts.get("insert", 0),
                 "deletes": counts.get("delete", 0),
             }
+        elif args.op == "trim-silence":
+            from fupi_spark.audio import trim_silence
+            from fupi_spark.transform import transform_payloads
+
+            snap = transform_payloads(
+                t,
+                lambda df: trim_silence(df),
+                job_id=args.job_id,
+                operation="trim",
+            )
+            report["snapshot"] = snap.snapshot_id
+            report["output_files"] = snap.summary.get("output_files")
         elif args.op == "expire":
             report["report"] = expire_snapshots(t, retain_last=args.retain_last)
         elif args.op == "verify":

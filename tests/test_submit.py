@@ -137,3 +137,24 @@ def test_submit_bloom_and_changelog_ops(spark, tmp_path):
     run("--op", "delete-mor", "--keys", ",".join(ids[:3]), "--job-id", "dm1")
     r2 = run("--op", "changelog", "--from-snapshot", str(base))
     assert r2["changelog"] == {"inserts": 0, "deletes": 3}
+
+
+def test_submit_trim_silence_op(spark, tmp_path):
+    from fupi_spark import meta
+    from fupi_spark.synth import synth_clips
+
+    table = str(tmp_path / "t5")
+    t = meta.create_table(spark, table)
+    meta.append(t, synth_clips(spark, 60, dur_range_ms=(300, 400), parts=2), job_id="seed")
+
+    out = subprocess.run(
+        [os.sys.executable, os.path.join(REPO, "submit_maintenance.py"),
+         "--table", table, "--op", "trim-silence", "--job-id", "ts1"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["snapshot"] is not None and rep["output_files"] >= 1
+    t = meta.load_table(spark, table)
+    assert t.scan().count() == 60
+    assert [s["operation"] for s in t.lineage_chain()][-1] == "trim"
