@@ -58,6 +58,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -243,6 +244,20 @@ class Table:
             raise KeyError(f"no tag {name!r}")
         return t[name]
 
+    def snapshot_as_of(self, ts_ms: int) -> int:
+        """AS-OF-timestamp time travel (Iceberg ``FOR TIMESTAMP AS OF``):
+        the LATEST snapshot whose commit stamp is <= ts_ms. Pre-stamp
+        snapshots (written before committed_at_ms existed) are treated
+        as infinitely old, so they resolve for any ts."""
+        best = None
+        for sid in self.snapshot_ids():
+            at = self.snapshot(sid).summary.get("committed_at_ms", 0)
+            if at <= ts_ms:
+                best = sid
+        if best is None:
+            raise ValueError(f"no snapshot committed at or before {ts_ms}")
+        return best
+
     def lineage_chain(self) -> list[dict]:
         """Snapshot lineage: (id, parent, operation, summary) per commit."""
         return [
@@ -348,6 +363,7 @@ class Table:
         snapshot_id: int | None = None,
         include_internal: bool = False,
         tag: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot (time travel when id given, or
         by name via ``tag``). ``include_internal`` keeps physical
@@ -360,6 +376,8 @@ class Table:
         regardless of each file's physical one."""
         if tag is not None:
             snapshot_id = self.resolve_tag(tag)
+        if as_of_ms is not None:
+            snapshot_id = self.snapshot_as_of(as_of_ms)
         snap = self.snapshot(snapshot_id) if snapshot_id else self.current_snapshot()
         files = [e["file_path"] for e in self.data_entries(snap)]
         if not files:
@@ -963,6 +981,10 @@ class Table:
                 )
                 if "last_cluster_snapshot_id" not in extra and inherited_lc is not None:
                     extra["last_cluster_snapshot_id"] = inherited_lc
+            # wall-clock commit stamp (ms): enables AS-OF-timestamp time
+            # travel (snapshot_as_of) — informational, never used for
+            # ordering (snapshot ids are the total order)
+            extra.setdefault("committed_at_ms", int(time.time() * 1000))
             snap = Snapshot(
                 snapshot_id=next_id,
                 parent_id=base.snapshot_id if base else None,

@@ -652,3 +652,28 @@ class TestPortableHLL:
         rows = df.collect()
         assert rows and all(r.within_bound for r in rows), rows
         compare(df, osql["hll_portable_sketch"], sf_dir)
+
+
+# -- AS-OF-timestamp time travel ---------------------------------------------
+
+
+def test_scan_as_of_timestamp(spark, tmp_path):
+    import time as _t
+
+    from fupi_spark.synth import synth_clips
+
+    t = make_table(spark, str(tmp_path / "t"), n=40, parts=2)
+    after_v2 = int(_t.time() * 1000)
+    _t.sleep(0.01)
+    extra = synth_clips(spark, 10, seed=4, dur_range_ms=(50, 80)).withColumn(
+        "clip_id", F.concat(F.lit("y_"), F.col("clip_id"))
+    )
+    meta.append(t, extra, job_id="a2", parts=1)
+
+    assert t.snapshot_as_of(after_v2) == 2
+    assert t.scan(as_of_ms=after_v2).count() == 40
+    assert t.scan(as_of_ms=int(_t.time() * 1000)).count() == 50
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.snapshot_as_of(0)
