@@ -14,7 +14,7 @@ Ops:
     verify | delete --where <pred> | set-tag/delete-tag --tag <name> |
     delete-mor --keys k1,k2,... | consolidate-deletes |
     wap-append --clips N | bloom-refresh | changelog --from-snapshot N |
-    trim-silence
+    trim-silence | advise
               individual maintenance jobs against an existing table;
               --job-id makes retries of a committed job no-ops
 
@@ -41,7 +41,7 @@ def main() -> int:
             "pipeline", "compact", "cluster", "cluster-incremental",
             "merge-demo", "expire", "verify", "delete", "set-tag",
             "delete-tag", "delete-mor", "consolidate-deletes", "wap-append",
-            "bloom-refresh", "changelog", "trim-silence",
+            "bloom-refresh", "changelog", "trim-silence", "advise",
         ],
     )
     p.add_argument("--clips", type=int, default=2000)
@@ -198,6 +198,12 @@ def main() -> int:
                 "inserts": counts.get("insert", 0),
                 "deletes": counts.get("delete", 0),
             }
+        elif args.op == "advise":
+            from fupi_spark.advisor import advise
+
+            report["recommendations"] = advise(
+                t, target_bytes=target, bloom_col=args.key_column
+            )
         elif args.op == "trim-silence":
             from fupi_spark.audio import trim_silence
             from fupi_spark.transform import transform_payloads

@@ -158,3 +158,22 @@ def test_submit_trim_silence_op(spark, tmp_path):
     t = meta.load_table(spark, table)
     assert t.scan().count() == 60
     assert [s["operation"] for s in t.lineage_chain()][-1] == "trim"
+
+
+def test_submit_advise_op(spark, tmp_path):
+    from fupi_spark import meta
+    from fupi_spark.synth import synth_clips
+
+    table = str(tmp_path / "t6")
+    t = meta.create_table(spark, table)
+    meta.append(t, synth_clips(spark, 100, dur_range_ms=(50, 100), parts=5), job_id="seed")
+
+    out = subprocess.run(
+        [os.sys.executable, os.path.join(REPO, "submit_maintenance.py"),
+         "--table", table, "--op", "advise"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    ops = [r["op"] for r in rep["recommendations"]]
+    assert "compact" in ops and "cluster" in ops
