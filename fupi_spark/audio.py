@@ -861,8 +861,6 @@ def trim_silence(
     table rewrite."""
     from .schema import CLIPS_SCHEMA
 
-    cols = [f.name for f in CLIPS_SCHEMA.fields]
-    extra = [c for c in clips.columns if c not in cols]
     out_schema = clips.schema
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
