@@ -859,8 +859,6 @@ def trim_silence(
     partial frame is kept, mirroring vad_segments' contract). Built to
     ride :func:`transform.transform_payloads` as a payload-mutating
     table rewrite."""
-    from .schema import CLIPS_SCHEMA
-
     out_schema = clips.schema
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
