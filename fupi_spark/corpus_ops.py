@@ -575,3 +575,119 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{_bm25_score_sql('spark')} AS score"
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# two-pass exact percentiles — the documented heavy-group upgrade path
+# of value_percentiles, proven equal to it
+# ---------------------------------------------------------------------------
+
+_TP_BINS = 1024
+
+
+@register(
+    "value_percentiles_twopass",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, MAX(n) AS n,
+       MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+       MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95,
+       MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def value_percentiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME percentile_disc contract as value_percentiles, computed
+    the way a heavy group demands: pass 1 builds the bounded
+    (≤1024-row-per-group) histogram and locates each target rank's
+    bracket bin from cumulative counts; pass 2 sorts ONLY the rows
+    inside bracket bins (≈ n/1024 of the data per target) and picks the
+    exact within-bin rank. No full per-group sort ever happens — the
+    rank window in pass 2 partitions by (group, quantile) over bracket
+    rows alone, so a 10^11-row group costs two linear passes plus a
+    tiny sort. Binning is monotone in value, so within-bin order by
+    (value, event_id) extends the global order exactly; the oracle is
+    the full-sort contract, proving the equality."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    bin_col = F.least(
+        F.lit(_TP_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value")).cast("long")),
+    )
+    binned = ev.withColumn("bin", bin_col)
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("event_type").orderBy("bin"))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def bracket(qname: str, rank_expr: str):
+        r = F.expr(rank_expr)
+        hit = F.min(
+            F.when(
+                F.col("cum") >= r,
+                F.struct(
+                    F.col("bin").alias("bin"),
+                    (r - (F.col("cum") - F.col("cnt"))).alias("within"),
+                ),
+            )
+        )
+        return hit.alias(qname)
+
+    targets_wide = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        bracket("q50", "(n + 1) div 2"),
+        bracket("q95", "(19 * n + 19) div 20"),
+        bracket("q99", "(99 * n + 99) div 100"),
+    )
+    targets = targets_wide.select(
+        "event_type",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("qname"),
+                        F.col(q)["bin"].alias("bin"),
+                        F.col(q)["within"].alias("within"),
+                    )
+                    for q in ("q50", "q95", "q99")
+                ]
+            )
+        ).alias("t"),
+    ).select("event_type", "n", "t.qname", "t.bin", "t.within")
+
+    # pass 2: only bracket-bin rows survive the broadcast join
+    cand = binned.join(
+        F.broadcast(targets), ["event_type", "bin"]
+    )
+    w = W.partitionBy("event_type", "qname").orderBy("value", "event_id")
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("within"))
+        .select("event_type", "n", "qname", "value")
+    )
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(F.when(F.col("qname") == "q50", F.col("value"))).alias("p50"),
+            F.min(F.when(F.col("qname") == "q95", F.col("value"))).alias("p95"),
+            F.min(F.when(F.col("qname") == "q99", F.col("value"))).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
