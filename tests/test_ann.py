@@ -180,3 +180,38 @@ def test_cosine_neardup_over_stored_banded_index(spark, tmp_path):
         if cos >= 0.9:
             expected.add(max(a, b_))
     assert got == sorted(expected)
+
+
+# -- product quantization ----------------------------------------------------
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ (S=8, K=16, 50-candidate rerank) must keep recall@10 >= 0.7
+    vs the exact top-10 (measured 0.8 on this corpus — deterministic:
+    seeded trainer, first-min tie-breaks), and encoding must be
+    identical across parallelism levels."""
+    from fupi_spark.pq import pq_encode, pq_lut, pq_topk, pq_train
+    from fupi_spark.queries import QUERY_VEC, _l2_col, load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, "embedding", "vec_id", dim=64, iters=2)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, "embedding", "vec_id", books, dim=64)
+    lut = pq_lut(QUERY_VEC, books)
+    got = {
+        r.vec_id
+        for r in pq_topk(emb, codes, "embedding", "vec_id", lut, QUERY_VEC).collect()
+    }
+    exact = {
+        r.vec_id
+        for r in emb.withColumn("d", _l2_col("embedding", QUERY_VEC))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(got & exact) >= 7
+
+    # codes invariant under repartitioning (pure per-row expressions)
+    a = sorted(map(tuple, codes.collect()))
+    b = sorted(map(tuple, pq_encode(emb.repartition(13), "embedding", "vec_id", books, dim=64).collect()))
+    assert a == b
