@@ -1968,3 +1968,128 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("_adc") * 10000).cast("bigint").alias("adc_e4"),
         F.floor(F.col("_exact") * 10000).cast("bigint").alias("distance_e4"),
     ).orderBy("distance_e4", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# the FULL IVF_PQ layout: coarse cells (trained) prune the scan, PQ
+# codes carry the in-cell distance estimate, exact rerank finishes —
+# the complete from-scratch rebuild of the index the reference creates
+# via Lance (utils.py:149-161)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+WITH cen AS (SELECT * FROM read_parquet('{_PQ_SCRATCH}/ivf_cents/*.parquet')),
+qv(pos, q) AS (VALUES {_KM_QV_VALUES}),
+probes AS (
+  SELECT cell FROM (
+    SELECT cen.cell, SUM((cen.val - qv.q) * (cen.val - qv.q)) AS d
+    FROM cen JOIN qv ON cen.pos = qv.pos
+    GROUP BY cen.cell ORDER BY d ASC, cen.cell ASC LIMIT 2
+  )
+),
+assign AS (SELECT * FROM read_parquet('{_PQ_SCRATCH}/ivf_assign/*.parquet')),
+lut AS (SELECT * FROM read_parquet('{_PQ_SCRATCH}/lut/*.parquet')),
+codes AS (SELECT * FROM read_parquet('{_PQ_SCRATCH}/codes/*.parquet')),
+adc AS (
+  SELECT codes.vec_id, assign.cell,
+         (((((((l0.v + l1.v) + l2.v) + l3.v) + l4.v) + l5.v) + l6.v) + l7.v)
+           AS adc
+  FROM codes
+  JOIN assign ON assign.vec_id = codes.vec_id
+  JOIN lut l0 ON l0.s = 0 AND l0.k = codes.c0
+  JOIN lut l1 ON l1.s = 1 AND l1.k = codes.c1
+  JOIN lut l2 ON l2.s = 2 AND l2.k = codes.c2
+  JOIN lut l3 ON l3.s = 3 AND l3.k = codes.c3
+  JOIN lut l4 ON l4.s = 4 AND l4.k = codes.c4
+  JOIN lut l5 ON l5.s = 5 AND l5.k = codes.c5
+  JOIN lut l6 ON l6.s = 6 AND l6.k = codes.c6
+  JOIN lut l7 ON l7.s = 7 AND l7.k = codes.c7
+  WHERE assign.cell IN (SELECT cell FROM probes)
+),
+cand AS (SELECT vec_id, cell, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50)
+SELECT e.vec_id, cand.cell,
+       CAST(FLOOR(({_l2_sql('e.embedding', QUERY_VEC, 'duck')}) * 10000) AS BIGINT)
+         AS distance_e4
+FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+ORDER BY ({_l2_sql('e.embedding', QUERY_VEC, 'duck')}) ASC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF_PQ plan: trained coarse cells prune the scan to
+    2 of 4 cells, the PQ codes of surviving vectors carry the ADC
+    distance estimate (no full-vector math until rerank), the top-50
+    ADC candidates get one exact-distance pass, top-10 out. Every
+    index artifact (cell assignments, coarse centroids, codes, LUT)
+    goes to sidecars; the oracle re-derives the probe set from the
+    centroids + query (ranking-robust: cell distances differ at O(1)),
+    re-runs the cell-filtered ADC join and candidate cut, and
+    recomputes the final exact distances independently. At 10^12
+    vectors: cell is a partition column (scan reads 2/K of the codes),
+    codes are 32 bits/vector, rerank reads 50 full vectors — the
+    trillion-vector plan end to end, from-scratch."""
+    import shutil as _sh
+
+    from .kmeans import assign_cells, kmeans_fit
+    from .pq import pq_encode, pq_lut, pq_topk, pq_train
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(emb, "embedding", "vec_id", _KM_K, iters=2)
+    assigned = assign_cells(emb, "embedding", cents).select("vec_id", "cell")
+    books = pq_train(emb, "embedding", "vec_id", dim=64, subs=8, iters=2)
+    codes = pq_encode(emb, "embedding", "vec_id", books, dim=64)
+    lut = pq_lut(QUERY_VEC, books)
+
+    _sh.rmtree(f"{_PQ_SCRATCH}/ivf_cents", ignore_errors=True)
+    _sh.rmtree(f"{_PQ_SCRATCH}/ivf_assign", ignore_errors=True)
+    spark.createDataFrame(
+        [
+            (cell, pos, float(v))
+            for cell, cen in enumerate(cents)
+            for pos, v in enumerate(cen)
+        ],
+        "cell int, pos int, val double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_PQ_SCRATCH}/ivf_cents")
+    assigned.coalesce(1).write.mode("overwrite").parquet(
+        f"{_PQ_SCRATCH}/ivf_assign"
+    )
+    codes.coalesce(1).write.mode("overwrite").parquet(f"{_PQ_SCRATCH}/codes")
+    spark.createDataFrame(
+        [
+            (s, k, float(v))
+            for s, row in enumerate(lut)
+            for k, v in enumerate(row)
+        ],
+        "s int, k int, v double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{_PQ_SCRATCH}/lut")
+
+    qdist = [
+        sum((q - c) ** 2 for q, c in zip(QUERY_VEC, cen)) for cen in cents
+    ]
+    probes = sorted(sorted(range(_KM_K), key=lambda j: (qdist[j], j))[:2])
+
+    from .pq import adc_distance
+    from .queries import _l2_col as _l2c
+
+    cand = (
+        codes.join(assigned, "vec_id")
+        .filter(F.col("cell").isin(probes))
+        .withColumn("_adc", adc_distance(lut))
+        .orderBy(F.col("_adc").asc(), F.col("vec_id").asc())
+        .limit(50)
+        .select("vec_id", "cell")
+    )
+    return (
+        cand.join(emb, "vec_id")
+        .withColumn("_d", _l2c("embedding", QUERY_VEC))
+        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            "cell",
+            F.floor(F.col("_d") * 10000).cast("bigint").alias("distance_e4"),
+        )
+    )
