@@ -691,3 +691,69 @@ def value_percentiles_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming exactly-once dedup — dropDuplicates state proven
+# against the batch relation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_exactly_once",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+ORDER BY event_id
+""",
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the source directory holds the events
+    parquet TWICE (two links — an at-least-once upstream), the stream
+    applies ``dropDuplicates`` on event_id under a 30-minute watermark,
+    and the output must equal the batch relation exactly once per
+    event — the exactly-once ingestion contract a replayed upstream
+    (Kafka retention rewind, redelivered files) requires. State is
+    bounded by the watermark horizon: keys older than the watermark
+    are dropped from the store, which is what makes the operator
+    runnable forever at 10^12 events (an unwatermarked dedup grows
+    state without bound)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src_dir = tempfile.mkdtemp(prefix="fupi_dedup_src_")
+    tz_before = spark.conf.get("spark.sql.session.timeZone", None)
+    name = "sd_" + uuid.uuid4().hex[:8]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for copy in ("a", "b"):
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src_dir, f"events_{copy}.parquet"),
+            )
+        schema = load(spark, sf_dir, "events").schema
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        )
+        deduped = (
+            src.withWatermark("ts_ltz", "30 minutes")
+            .dropDuplicates(["event_id"])
+            .select("event_id", "event_type", "value")
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        if tz_before is not None:
+            spark.conf.set("spark.sql.session.timeZone", tz_before)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.table(name).orderBy("event_id")
