@@ -28,3 +28,7 @@ from .synth import synth_clips  # noqa: E402,F401
 from .audio import verify_clips, extract_features  # noqa: E402,F401
 from .ingest import ingest_corpus  # noqa: E402,F401
 from .search import search, translate_results, results_to_records  # noqa: E402,F401
+from .cdc import changelog_scan  # noqa: E402,F401
+from .bloom import refresh_bloom_index, point_lookup  # noqa: E402,F401
+from .transform import transform_payloads  # noqa: E402,F401
+from .advisor import advise  # noqa: E402,F401
