@@ -871,8 +871,8 @@ def trim_silence(
             for pdf in _row_chunks(full, 2 * _BLOCK_SAMPLES):
                 pdf = pdf.copy()
                 new_bytes, new_dur = [], []
-                for b, sr, codec in zip(
-                    pdf["bytes"], pdf["sr_hz"], pdf["codec"]
+                for b, sr, dur, codec in zip(
+                    pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"]
                 ):
                     pcm = _decode_safe(b, codec)
                     fs = max(1, int(sr) * frame_ms // 1000)
@@ -888,6 +888,14 @@ def trim_silence(
                         )
                         voiced = np.sqrt(sums / fs) >= threshold
                         trim = int(np.argmax(voiced)) if voiced.any() else k
+                    if trim == 0:
+                        # nothing to trim: pass the row through BIT-
+                        # IDENTICAL (no re-encode, no dur round-trip —
+                        # sr*dur/1000 floors twice otherwise and can
+                        # shrink dur_ms by 1 on an untouched clip)
+                        new_bytes.append(b)
+                        new_dur.append(int(dur))
+                        continue
                     out = pcm[trim * fs :]
                     new_bytes.append(
                         wav_encode(out, int(sr))

@@ -1765,18 +1765,19 @@ def lakehouse_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_silence_trim_rewrite",
     oracle=f"""
 WITH s AS (
-  SELECT clip_id, sr_hz, sil_frames,
+  SELECT clip_id, sr_hz, dur_ms AS dur0, sil_frames,
          GREATEST(1, (sr_hz * dur_ms) // 1000) AS n0,
          GREATEST(1, (sr_hz * 20) // 1000) AS fs
   FROM read_parquet('{SCRATCH}/trim_sidecar/*.parquet')
 ),
 d AS (
-  SELECT clip_id, sr_hz, fs, n0 // fs AS k,
+  SELECT clip_id, sr_hz, dur0, fs, n0 // fs AS k,
          LEAST(sil_frames, n0 // fs) AS trim, n0
   FROM s
 )
 SELECT clip_id,
-       CAST(((n0 - trim * fs) * 1000) // sr_hz AS INT) AS dur_ms,
+       CAST(CASE WHEN trim = 0 THEN dur0
+                 ELSE ((n0 - trim * fs) * 1000) // sr_hz END AS INT) AS dur_ms,
        CAST(k - trim AS BIGINT) AS n_frames,
        CAST(CASE WHEN k - trim > 0 THEN 0 ELSE NULL END AS BIGINT)
          AS first_voiced,

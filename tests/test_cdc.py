@@ -145,3 +145,30 @@ def test_schema_drift_add_column_with_update(spark, tmp_path):
         (r.clip_id, r[CHANGE_TYPE_COL], r.lang) for r in log.collect()
     )
     assert rows == [(ids[0], "delete", "en"), (ids[0], "insert", "en")]
+
+
+def test_payload_transform_is_visible_change(spark, tmp_path):
+    """Unlike compact/cluster (net zero), a payload-MUTATING rewrite
+    (trim_silence) changes row images: the changelog emits a
+    delete+insert pair per clip whose bytes/dur actually changed."""
+    from fupi_spark.audio import plant_silence
+    from fupi_spark.transform import transform_payloads
+    from fupi_spark.audio import trim_silence
+    from fupi_spark.synth import synth_clips
+
+    clips = synth_clips(spark, 20, dur_range_ms=(300, 400), parts=2)
+    planted = plant_silence(clips, frame_ms=20).cache()
+    changed = {
+        r.clip_id for r in planted.filter(F.col("sil_frames") > 0)
+        .select("clip_id").collect()
+    }
+    t = meta.create_table(spark, str(tmp_path / "t"))
+    meta.append(t, planted.drop("sil_frames"), job_id="seed", parts=2)
+    base = t.current_snapshot().snapshot_id
+    transform_payloads(t, lambda df: trim_silence(df), job_id="tr", operation="trim")
+    rows = _changes(t, base)
+    # exactly the clips with a nonzero planted prefix changed
+    assert {c for c, _ in rows} == changed
+    from collections import Counter
+    per = Counter(ct for _, ct in rows)
+    assert per["delete"] == len(changed) and per["insert"] == len(changed)
