@@ -155,3 +155,22 @@ def pq_topk(
         .limit(k)
         .select(id_col, "_adc", "_exact")
     )
+
+
+def residual_col(vec_col: str, cell_col: str, centroids: list[list[float]]):
+    """vec − centroid[cell] as a codegen expression: the centroid
+    matrix is a literal array-of-arrays indexed by the row's cell, the
+    subtraction a zip_with — residual ENCODING is what IVF_PQ actually
+    quantizes (residuals are much smaller than raw vectors, so the same
+    codebook budget buys finer resolution near every cell center)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    picked = F.element_at(cents, F.col(cell_col) + 1)
+    return F.zip_with(
+        F.col(vec_col).cast("array<double>"), picked, lambda x, c: x - c
+    )
+
+
+def query_residual(query: list[float], centroid: list[float]) -> list[float]:
+    return [float(q) - float(c) for q, c in zip(query, centroid)]
