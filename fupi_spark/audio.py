@@ -199,11 +199,28 @@ def synth_pcm_concat(
         ].astype(np.float64)[rep]
         sig = np.zeros(b_total)
         for k in range(4):
+            # rows with n_tones <= k are INACTIVE for this slot: the old
+            # code still paid a full np.sin pass for them and multiplied
+            # by amp=0 (the kernel is sin-bound — ~1 of 5 passes wasted
+            # on average). Compute only the active samples instead
+            # (gather → sin → scatter-add); this matches the per-clip
+            # synth_pcm exactly (it never evaluates inactive slots), and
+            # for active samples the elementwise arithmetic is unchanged
+            # — bit-identical output (tested vs synth_pcm).
+            active = n_tones[i0:i1] > k
+            if not active.any():
+                continue
             freq = 80.0 + (streams[i0:i1, 1 + k] % np.uint64(4000)).astype(np.float64)
             phase = (streams[i0:i1, 5 + k] % np.uint64(1000)).astype(np.float64) / 1000.0 * 2 * np.pi
             amp = 0.15 + 0.1 * (streams[i0:i1, 9 + k] % np.uint64(100)).astype(np.float64) / 100.0
-            amp = np.where(k < n_tones[i0:i1], amp, 0.0)
-            sig += amp[rep] * np.sin(2 * np.pi * freq[rep] * t + phase[rep])
+            if active.all():
+                sig += amp[rep] * np.sin(2 * np.pi * freq[rep] * t + phase[rep])
+            else:
+                idx = np.flatnonzero(active[rep])
+                ri = rep[idx]
+                sig[idx] += amp[ri] * np.sin(
+                    2 * np.pi * freq[ri] * t[idx] + phase[ri]
+                )
         noise_f = 3500.0 + (streams[i0:i1, 13] % np.uint64(500)).astype(np.float64)
         sig += 0.003 * np.sin(2 * np.pi * noise_f[rep] * t)
         pcm[offs[i0] : offs[i1]] = np.clip(sig * 32767 / 4, -32768, 32767).astype(np.int16)

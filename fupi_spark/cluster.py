@@ -119,6 +119,97 @@ def codec_rank_array(codec: pd.Series, codecs: list[str]) -> np.ndarray:
     return np.minimum(r, max(len(codecs) - 1, 0))
 
 
+def _spread4_col(c):
+    """JVM twin of zorder._spread4: spread 16 bits 4 apart (Morton),
+    as shift/mask codegen expressions."""
+    for sh, m in (
+        (24, 0x000000FF000000FF),
+        (12, 0x000F000F000F000F),
+        (6, 0x0303030303030303),
+        (3, 0x1111111111111111),
+    ):
+        c = c.bitwiseOR(F.shiftleft(c, sh)).bitwiseAND(F.lit(m))
+    return c
+
+
+def _norm_col(col, lo, hi):
+    """JVM twin of zorder.normalize_to_grid. ``lo``/``hi`` are python
+    ints/floats; (hi - lo) is computed in python (exact) then rounded
+    once to double — the same order numpy applies, so the doubles (and
+    the floored grid) are bitwise-identical to the UDF path."""
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    g = F.floor(
+        (col.cast("double") - F.lit(float(lo)))
+        / F.lit(float(hi - lo))
+        * F.lit(float(zorder.MAXC))
+        + F.lit(0.5)
+    )
+    return F.least(F.greatest(g, F.lit(0)), F.lit(zorder.MAXC)).cast("long")
+
+
+def _string_u64_col(col):
+    """JVM twin of zorder.string_to_u64: first 8 UTF-8 bytes, big-endian,
+    NUL-padded — NUL byte padding == right-padding the hex string with
+    '0' pairs, so rpad(hex, 16, '0') then one base-16 conv does it.
+    Caller guarantees the result fits a signed long (checked via the
+    manifest clip_id bounds)."""
+    h = F.rpad(F.hex(F.substring(F.encode(col, "UTF-8"), 1, 8)), 16, "0")
+    return F.conv(h, 16, 10).cast("long")
+
+
+def curve_key_expr(bounds: dict, curve: str):
+    """Pure-JVM Column twin of curve_key_udf for the zorder curve —
+    whole-stage codegen, no Python worker in the planning or rewrite
+    stage (r6, guide §4: the ArrowEvalPython hop was pure overhead for
+    this integer bit math). Returns None when the key is not
+    JVM-expressible (hilbert's bit loop; or a clip_id range whose u64
+    rank exceeds signed-long — conv() would overflow), and callers fall
+    back to the UDF. Bit-identical to the UDF path (tested)."""
+    if curve != "zorder":
+        return None
+    if bounds["clip_id_lo"] >= 1 << 63 or bounds["clip_id_hi"] >= 1 << 63:
+        return None
+    codecs = bounds.get("codec_ranks") or sorted(bounds["codec_rank"])
+    d0 = _norm_col(
+        _string_u64_col(F.col("clip_id")), bounds["clip_id_lo"], bounds["clip_id_hi"]
+    )
+    d1 = _norm_col(F.col("sr_hz"), bounds["sr_lo"], bounds["sr_hi"])
+    d2 = _norm_col(F.col("dur_ms"), bounds["dur_lo"], bounds["dur_hi"])
+    # codec rank: searchsorted(known, codec, 'left') clipped — for a
+    # sorted list this is the count of known codecs < value
+    known = list(codecs)
+    if known:
+        rank_arr = F.array(*[F.lit(c) for c in known])
+        rank = F.aggregate(
+            rank_arr,
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(c < F.coalesce(F.col("codec"), F.lit("")), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        rank = F.least(rank, F.lit(max(len(known) - 1, 0)))
+    else:
+        rank = F.lit(0)
+    d3 = _norm_col(rank, 0, bounds["codec_hi"])
+    return (
+        F.shiftleft(_spread4_col(d0), 3)
+        .bitwiseOR(F.shiftleft(_spread4_col(d1), 2))
+        .bitwiseOR(F.shiftleft(_spread4_col(d2), 1))
+        .bitwiseOR(_spread4_col(d3))
+    )
+
+
+def curve_key_col(bounds: dict, curve: str):
+    """The curve key as a Column: pure-JVM codegen when expressible
+    (zorder), vectorized pandas UDF otherwise (hilbert)."""
+    e = curve_key_expr(bounds, curve)
+    if e is not None:
+        return e
+    return curve_key_udf(bounds, curve)(*[F.col(c) for c in CLUSTER_DIMS])
+
+
 def curve_key_udf(bounds: dict, curve: str = "zorder"):
     """Vectorized pandas UDF (clip_id, sr_hz, dur_ms, codec) → int64
     curve key."""
@@ -277,10 +368,10 @@ def cluster(
         boundaries = sorted(set(raw_q))
     else:
         bounds = dimension_bounds(table)
-        key_udf = curve_key_udf(bounds, curve)
+        key_col = curve_key_col(bounds, curve)
         keyed_sample = _sampled(
             table.scan().select(*CLUSTER_DIMS), n_out, rows_total
-        ).withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
+        ).withColumn("_zval", key_col)
         raw_q = _range_boundaries(keyed_sample, "_zval", n_out, rows_total)
         boundaries = sorted(set(int(b) for b in raw_q))
 
@@ -305,7 +396,7 @@ def cluster(
         sort_cols = ["_bucket", "clip_id"]
         bucket = _bucket_expr(boundaries, "clip_id") if boundaries else F.lit(0)
     else:
-        df = df.withColumn("_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS]))
+        df = df.withColumn("_zval", key_col)
         sort_cols = ["_bucket", "_zval", "clip_id"]
         bucket = _bucket_expr(boundaries) if boundaries else F.lit(0)
     if effective_salt > 1:
@@ -455,15 +546,15 @@ def cluster_incremental(
         )
         sort_cols = ["_bucket", "clip_id"]
     else:
-        key_udf = curve_key_udf(dimension_bounds(table), curve)
+        key_col = curve_key_col(dimension_bounds(table), curve)
         sample = _sampled(new_df.select(*CLUSTER_DIMS), n_out, rows_total).withColumn(
-            "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
+            "_zval", key_col
         )
         raw_q = _range_boundaries(sample, "_zval", n_out, rows_total)
         boundaries = sorted(set(int(b) for b in raw_q))
-        df = new_df.withColumn(
-            "_zval", key_udf(*[F.col(c) for c in CLUSTER_DIMS])
-        ).withColumn("_bucket", _bucket_expr(boundaries) if boundaries else F.lit(0))
+        df = new_df.withColumn("_zval", key_col).withColumn(
+            "_bucket", _bucket_expr(boundaries) if boundaries else F.lit(0)
+        )
         sort_cols = ["_bucket", "_zval", "clip_id"]
 
     # the churn read goes through _read_files -> outstanding deletes

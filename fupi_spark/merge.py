@@ -75,8 +75,21 @@ from .meta import Snapshot, Table
 MERGE_KEY = "clip_id"
 
 
+#: distinct source keys up to this count prune on the DRIVER (one
+#: collect of the key column, numpy searchsorted against the file
+#: boundaries) instead of a Spark job with a pandas-UDF bin assignment —
+#: that job cost a fixed ~0.5-0.8 s per merge (measured r6, guide §4:
+#: the Python-worker roundtrip is pure overhead at this size). Larger
+#: sources keep the distributed equi-join path.
+PRUNE_KEYS_DRIVER_MAX = 100_000
+
+
 def plan_touched_files(
-    table: Table, source: DataFrame, base: Snapshot, key: str = MERGE_KEY
+    table: Table,
+    source: DataFrame,
+    base: Snapshot,
+    key: str = MERGE_KEY,
+    n_keys: int | None = None,
 ) -> list[dict]:
     """File pruning by key-range stats: a file is touched iff some
     source key falls inside its [min, max] key range.
@@ -113,6 +126,27 @@ def plan_touched_files(
         b_hi = int(np.searchsorted(barr, e[hi_k], side="right")) - 1
         for b in range(max(b_lo, 0), b_hi + 1):
             file_bins.append((b, ord_, e[lo_k], e[hi_k]))
+
+    if n_keys is not None and n_keys <= PRUNE_KEYS_DRIVER_MAX:
+        # small-source fast path (r6): the distinct keys fit on the
+        # driver by a measured gate, so the whole bin/range test runs
+        # as one numpy searchsorted — zero extra Spark jobs beyond the
+        # key collect, identical touched set (forced-path tested).
+        kvals = np.array(
+            [r[0] for r in source.select(key).distinct().collect()], dtype=object
+        )
+        by_bin: dict[int, list] = {}
+        for b, ord_, f_lo, f_hi in file_bins:
+            by_bin.setdefault(b, []).append((ord_, f_lo, f_hi))
+        kb = np.searchsorted(barr, kvals, side="right") - 1
+        hit: set[int] = set()
+        for kv, b in zip(kvals, kb):
+            for ord_, f_lo, f_hi in by_bin.get(int(b), ()):
+                if f_lo <= kv <= f_hi:
+                    hit.add(ord_)
+        touched = [bounded[o] for o in sorted(hit)]
+        return sorted(touched + unbounded, key=lambda e: e["file_path"])
+
     spark = table.spark
     # schema inferred so the key's min/max type follows the key column
     # (string clip_id or an int key alike)
@@ -226,7 +260,11 @@ def merge_into(
             e for e in table.data_entries(base) if e["row_count"] != 0
         ]
     else:
-        touched = plan_touched_files(table, source, base, key=keys[0])
+        # v["d"] == src_rows after the uniqueness check; passing it
+        # lets small sources take the driver-side prune fast path
+        touched = plan_touched_files(
+            table, source, base, key=keys[0], n_keys=int(v["d"])
+        )
     touched_paths = [e["file_path"] for e in touched]
 
     if touched_paths:

@@ -787,15 +787,51 @@ class Table:
         )
         return {r["f"]: r["s"] for r in rows}
 
+    #: staged writes up to this many total rows (known exactly from the
+    #: footer fold) read the 8-byte ``_crc`` column driver-side with
+    #: pyarrow instead of launching a Spark aggregation job — the job
+    #: costs a fixed ~0.3-0.4 s per maintenance stage (measured r6,
+    #: guide §1/§5: the driver may do O(small) work, never O(table));
+    #: larger stages keep the distributed aggregation
+    CRC_DRIVER_MAX_ROWS = 2_000_000
+
+    def _crc_sums_driver(self, paths: list[str]) -> dict[str, int]:
+        """Per-file ``_crc`` sums via driver-side pyarrow column reads
+        (only the 8-byte checksum column is materialized). Caller gates
+        on CRC_DRIVER_MAX_ROWS/FOOTER_DRIVER_MAX."""
+        import pyarrow.compute as pc
+
+        from .integrity import CRC_COL
+
+        out: dict[str, int] = {}
+        for p in paths:
+            lp = local_path(p)
+            if CRC_COL not in pq.read_schema(lp).names:
+                out[p.rsplit("/", 1)[-1]] = None
+                continue
+            s = pc.sum(pq.read_table(lp, columns=[CRC_COL]).column(CRC_COL))
+            out[p.rsplit("/", 1)[-1]] = s.as_py()
+        return out
+
     def _stats_for_files(self, paths: list[str], df: DataFrame) -> dict[str, dict]:
         """Per-file stats entries keyed by BASENAME: footer fold +
         _crc-only checksum agg, Spark-aggregation fallback when any
         footer lacks a usable statistic. One implementation shared by
         append promotion and partition-dir promotion (compact.py) so
         the two paths can't drift."""
+        from .integrity import CRC_COL
+
         fstats = self.footer_file_stats(paths)
         if fstats is not None:
-            crc = self._crc_sums(df) or {}
+            total_rows = sum(s["row_count"] for s in fstats)
+            if (
+                CRC_COL in df.columns
+                and total_rows <= self.CRC_DRIVER_MAX_ROWS
+                and len(paths) <= self.FOOTER_DRIVER_MAX
+            ):
+                crc = self._crc_sums_driver(paths)
+            else:
+                crc = self._crc_sums(df) or {}
             return {
                 p.rsplit("/", 1)[-1]: {
                     **st,

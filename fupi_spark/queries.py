@@ -287,7 +287,12 @@ def segment_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token") != "")
-    out = dense_ids(toks, ["doc_id", "pos"], "segment_id")
+    # keys_join=False (r6, VERDICT r5 #3): the keys-only path would
+    # re-evaluate the split+posexplode for the join-back AND pay the
+    # uniqueness-validation job — ids.py names the sentence-splitter
+    # explode as exactly the case for the full-width checkpoint
+    # (mirrors ingest.segment). Same ids, one explode evaluation.
+    out = dense_ids(toks, ["doc_id", "pos"], "segment_id", keys_join=False)
     return out.select("doc_id", "pos", "token", "segment_id").orderBy("segment_id")
 
 
@@ -311,11 +316,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     row). md5-groupBy is the exact-dedup primitive for training-data
     pipelines; hash first so the shuffle key is 16 bytes, not the text."""
     docs = load(spark, sf_dir, "documents")
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    # keep-first == min(doc_id) per fingerprint, so a partial-agg
+    # groupBy replaces the r1-r5 row_number window (r6, guide §2.3):
+    # map-side combine shuffles only (16-byte hash, long) partials —
+    # the window shuffled every (doc_id, fingerprint, text) row and
+    # sorted each partition. Result rows identical (oracle unchanged).
     return (
-        docs.select("doc_id", F.md5("text").alias("fingerprint"), "text")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        docs.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )

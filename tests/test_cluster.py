@@ -278,3 +278,51 @@ def test_cluster_improves_pruning_bounds(spark, tmp_table_dir):
     cluster(t, curve="zorder", target_bytes=1 << 18)
     after = avg_span(t.manifest_entries().to_pylist())
     assert after < before
+
+
+def test_curve_key_expr_matches_udf(spark, tmp_table_dir):
+    """r6: the pure-JVM zorder key expression is bit-identical to the
+    numpy pandas-UDF path (which is itself oracle-tested), including
+    short clip_ids and codecs absent from the rank dictionary."""
+    from pyspark.sql import functions as F
+
+    from fupi_spark.cluster import (
+        CLUSTER_DIMS,
+        curve_key_expr,
+        curve_key_udf,
+    )
+
+    t = create_table(spark, tmp_table_dir)
+    from fupi_spark import meta
+
+    meta.append(t, synth_clips(spark, 400, dur_range_ms=(50, 120)), job_id="seed", parts=8)
+    bounds = dimension_bounds(t)
+    expr = curve_key_expr(bounds, "zorder")
+    assert expr is not None
+    udf = curve_key_udf(bounds, "zorder")
+    df = t.scan().select(*CLUSTER_DIMS)
+    extra = spark.createDataFrame(
+        [("", 8000, 50, "zzzz"), ("a", 48000, 120, "aaaa"), ("clip_", 22050, 77, "flac")],
+        df.schema,
+    )
+    df = df.unionByName(extra)
+    both = df.withColumn("_e", expr).withColumn(
+        "_u", udf(*[F.col(c) for c in CLUSTER_DIMS])
+    )
+    assert both.filter(F.col("_e") != F.col("_u")).count() == 0
+    # hilbert stays on the UDF path
+    assert curve_key_expr(bounds, "hilbert") is None
+
+
+def test_curve_key_expr_declines_past_long_range(spark, tmp_table_dir):
+    """clip_id bounds whose u64 rank exceeds signed-long must fall back
+    to the UDF (conv() would overflow)."""
+    from fupi_spark.cluster import curve_key_expr
+
+    t = create_table(spark, tmp_table_dir)
+    from fupi_spark import meta
+
+    meta.append(t, synth_clips(spark, 50, dur_range_ms=(50, 80)), job_id="seed", parts=2)
+    b = dimension_bounds(t)
+    b["clip_id_hi"] = 1 << 63
+    assert curve_key_expr(b, "zorder") is None

@@ -202,3 +202,23 @@ def test_gc_never_deletes_referenced_property(spark, tmp_table_dir):
         for p in t.live_files(t.snapshot(sid)):
             assert os.path.exists(f"{t.root}/{p}"), f"referenced file missing: {p}"
     assert t.scan().count() == 150
+
+
+def test_plan_touched_driver_path_matches_distributed(spark, tmp_table_dir):
+    """r6: the small-source driver-side prune (numpy searchsorted, no
+    Spark job) must produce the identical touched-file set as the
+    distributed equi-join path."""
+    from fupi_spark import meta
+    from fupi_spark.merge import plan_touched_files
+    from fupi_spark.synth import synth_clips
+
+    t = meta.create_table(spark, tmp_table_dir)
+    meta.append(t, synth_clips(spark, 300, dur_range_ms=(50, 80)), job_id="seed", parts=12)
+    base = t.current_snapshot()
+    src = t.scan().select("clip_id").limit(20).cache()
+    n = src.count()
+    driver = plan_touched_files(t, src, base, n_keys=n)
+    dist = plan_touched_files(t, src, base, n_keys=None)
+    src.unpersist()
+    assert [e["file_path"] for e in driver] == [e["file_path"] for e in dist]
+    assert 0 < len(driver) <= 12

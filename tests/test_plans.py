@@ -103,6 +103,26 @@ def test_dense_ids_no_single_reducer(spark, sf_dir):
         assert "SinglePartition" not in p, f"{name} funnels through one reducer"
 
 
+def test_segment_explode_single_generate(spark, sf_dir):
+    """r6: keys_join=False — the split+posexplode is evaluated exactly
+    once, upstream of the dense_ids checkpoint (the keys-only path
+    re-evaluated it for a join-back and ran an extra uniqueness job).
+    The final plan therefore reads the checkpointed rows and contains
+    NO join and at most the checkpoint's own Generate."""
+    p = plan_of(Q.QUERIES["segment_explode"](spark, sf_dir))
+    assert "Join" not in p, p
+    assert p.count("Generate") <= 1, p
+
+
+def test_dedup_exact_is_partial_agg_not_window(spark, sf_dir):
+    """r6: keep-first == min(doc_id) per fingerprint — a map-side
+    combinable groupBy, not a row_number window (which shuffled and
+    sorted every (doc_id, fingerprint, text) row)."""
+    p = plan_of(Q.QUERIES["dedup_exact"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
 def test_dense_ids_matches_global_window(spark, sf_dir):
     """dense_ids == ROW_NUMBER() OVER (ORDER BY ...) row for row."""
     from pyspark.sql.window import Window as W
