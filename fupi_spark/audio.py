@@ -213,16 +213,20 @@ def synth_pcm_concat(
             freq = 80.0 + (streams[i0:i1, 1 + k] % np.uint64(4000)).astype(np.float64)
             phase = (streams[i0:i1, 5 + k] % np.uint64(1000)).astype(np.float64) / 1000.0 * 2 * np.pi
             amp = 0.15 + 0.1 * (streams[i0:i1, 9 + k] % np.uint64(100)).astype(np.float64) / 100.0
+            # fold the scalar 2π into the PER-ROW freq array before the
+            # [rep] expansion: ((2π·f)[rep])·t == 2π·(f[rep])·t element
+            # for element (same two float64 multiplies in the same
+            # order), but the first form skips one full-length pass
+            w = 2 * np.pi * freq
             if active.all():
-                sig += amp[rep] * np.sin(2 * np.pi * freq[rep] * t + phase[rep])
+                sig += amp[rep] * np.sin(w[rep] * t + phase[rep])
             else:
                 idx = np.flatnonzero(active[rep])
                 ri = rep[idx]
-                sig[idx] += amp[ri] * np.sin(
-                    2 * np.pi * freq[ri] * t[idx] + phase[ri]
-                )
+                sig[idx] += amp[ri] * np.sin(w[ri] * t[idx] + phase[ri])
         noise_f = 3500.0 + (streams[i0:i1, 13] % np.uint64(500)).astype(np.float64)
-        sig += 0.003 * np.sin(2 * np.pi * noise_f[rep] * t)
+        wn = 2 * np.pi * noise_f  # same fold as the tone loop
+        sig += 0.003 * np.sin(wn[rep] * t)
         pcm[offs[i0] : offs[i1]] = np.clip(sig * 32767 / 4, -32768, 32767).astype(np.int16)
         i0 = i1
     return pcm, n, offs

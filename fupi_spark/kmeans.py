@@ -48,9 +48,9 @@ def assign_cells(
     K unrolled 64-term literal expressions blow janino's method limit).
     Ties break to the LOWEST cell id (array_position returns the first
     minimum) — deterministic on both engines."""
-    from .queries import _l2_col
+    from .queries import _l2_multi_col
 
-    dists = F.array(*[_l2_col(vec_col, c) for c in centroids])
+    dists = _l2_multi_col(vec_col, centroids)
     return df.withColumn(
         "cell",
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),

@@ -29,8 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import kmeans_fit
-
 PQ_SUBS = 8
 PQ_K = 16
 
@@ -49,14 +47,68 @@ def pq_train(
     iters: int = 2,
 ) -> list[list[list[float]]]:
     """One codebook (k centroids of dim/subs floats) per subspace,
-    trained independently with the deterministic Lloyd job. At 10^12
-    rows each fit runs on a sample; the encode pass below is the only
-    full-data pass."""
+    trained with the SAME deterministic Lloyd recipe as kmeans_fit
+    (lowest-id init, first-min tie-break, 6-decimal rounding) — but
+    all ``subs`` subspaces share each round's jobs (r6): one init
+    collect (the k lowest-id rows, sliced per subspace on the driver)
+    and ONE assignment+means aggregation per iteration, instead of
+    subs×(1+iters) sequential jobs. The per-(cell, pos) input sets are
+    identical to the sequential trainer, so the rounded means agree
+    (fused-vs-sequential equality is pytest-pinned); at 10^12 rows each
+    iteration is still one scan + one (subs·k·sub_len)-row shuffle.
+
+    At 10^12 rows the fit runs on a sample; the encode pass below is
+    the only full-data pass."""
+    from .queries import _l2_multi_col
+
     sub_len = dim // subs
-    books = []
-    for s in range(subs):
-        sub = emb.select(id_col, _sub_col(vec_col, s, sub_len).alias("_subv"))
-        books.append(kmeans_fit(sub, "_subv", id_col, k, iters=iters))
+    round_digits = 6
+    init_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} but only {len(init_rows)} rows")
+    books = [
+        [
+            [
+                round(float(v), round_digits)
+                for v in r[vec_col][s * sub_len : (s + 1) * sub_len]
+            ]
+            for r in init_rows
+        ]
+        for s in range(subs)
+    ]
+    for _ in range(iters):
+        df = emb.select(
+            id_col,
+            *[_sub_col(vec_col, s, sub_len).alias(f"_sub{s}") for s in range(subs)],
+        )
+        for s in range(subs):
+            dists = _l2_multi_col(f"_sub{s}", books[s])
+            df = df.withColumn(
+                f"_cell{s}",
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+            )
+        # one update aggregation for every subspace: explode the
+        # re-flattened vector, key each position by ITS subspace's cell
+        # (pos // sub_len picks the subspace), average per (cell, pos)
+        cells = F.array(*[F.col(f"_cell{s}") for s in range(subs)])
+        vec = F.flatten(F.array(*[F.col(f"_sub{s}") for s in range(subs)]))
+        means = (
+            df.select(cells.alias("_cells"), F.posexplode(vec).alias("pos", "v"))
+            .withColumn(
+                "cell",
+                F.element_at(
+                    F.col("_cells"), (F.col("pos") / sub_len).cast("int") + 1
+                ),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [[list(c) for c in b] for b in books]
+        for r in means:
+            s, p = divmod(int(r["pos"]), sub_len)
+            new[s][int(r["cell"])][p] = round(r["m"], round_digits)
+        books = new
     return books
 
 
@@ -70,7 +122,7 @@ def pq_encode(
     """(id, c0..c{S-1}): per-subspace argmin code, first-min tie-break
     — one codegen pass, no Python (the zip_with+aggregate fold per
     centroid keeps generated code size linear in K·S)."""
-    from .queries import _l2_col
+    from .queries import _l2_multi_col
 
     subs = len(codebooks)
     sub_len = dim // subs
@@ -82,7 +134,7 @@ def pq_encode(
         ],
     )
     for s, book in enumerate(codebooks):
-        dists = F.array(*[_l2_col(f"_sub{s}", c) for c in book])
+        dists = _l2_multi_col(f"_sub{s}", book)
         out = out.withColumn(
             f"c{s}",
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),

@@ -90,6 +90,27 @@ def _l2_col(col: str, vec: list[float]):
     )
 
 
+def _l2_multi_col(col: str, cents: list[list[float]]):
+    """array<double> of ``_l2_col(col, c)`` for every centroid ``c`` —
+    built as ONE expression (a literal 2-D array + nested transform)
+    instead of K independent fold expressions. Element values are
+    bit-identical to K separate _l2_col calls (same zip_with+aggregate
+    left fold per centroid, tested); the win is Catalyst analysis cost:
+    K×dim literal folds made every (re)planning pass O(K·dim) in
+    expression-tree size, which dominated the PQ/IVF trainers at small
+    scale (r6, guide §1: the driver was the bottleneck, not the data)."""
+    cents2 = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    vec = F.col(col).cast("array<double>")
+    return F.transform(
+        cents2,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, q: (x - q) * (x - q)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
 def _dot_col(col: str, vec: list[float]):
     qlit = F.array(*[F.lit(float(q)) for q in vec])
     return F.aggregate(

@@ -299,3 +299,45 @@ def test_residual_pq_recall_floor(spark):
     resid.unpersist(); codes_r.unpersist()
     assert len(flat & exact) >= 7  # flat-PQ recall (also gated above)
     assert len(res & exact) >= 5  # residual floor (0.6 measured)
+
+
+def test_pq_train_fused_matches_sequential(spark, sf_dir):
+    """r6: the shared-job PQ trainer must produce exactly the codebooks
+    of the per-subspace kmeans_fit recipe (same init rows, same
+    assignment arithmetic, same rounded means)."""
+    from fupi_spark.kmeans import kmeans_fit
+    from fupi_spark.pq import _sub_col, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    fused = pq_train(emb, "embedding", "vec_id", dim=64, iters=2)
+    seq = [
+        kmeans_fit(
+            emb.select("vec_id", _sub_col("embedding", s, 8).alias("_subv")),
+            "_subv",
+            "vec_id",
+            16,
+            iters=2,
+        )
+        for s in range(8)
+    ]
+    assert fused == seq
+
+
+def test_l2_multi_col_bitwise_matches_l2_col(spark, sf_dir):
+    """r6: the single nested-transform distance array is bit-identical
+    to K independent _l2_col folds."""
+    from pyspark.sql import functions as F
+
+    from fupi_spark.queries import _l2_col, _l2_multi_col
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [[round(0.1 * ((i * 7 + j) % 13) - 0.5, 6) for j in range(64)] for i in range(9)]
+    a = emb.select(
+        "vec_id", F.array(*[_l2_col("embedding", c) for c in cents]).alias("d")
+    )
+    b = emb.select("vec_id", _l2_multi_col("embedding", cents).alias("d"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -229,6 +229,11 @@ def test_curve_udf_full_data_single_pass(spark, tmp_path, monkeypatch):
         return key
 
     monkeypatch.setattr(C, "curve_key_udf", counting_factory)
+    # r6: zorder normally compiles to the pure-JVM key expression (no
+    # UDF at all); force the UDF fallback so this test keeps pinning
+    # the single-full-evaluation property of that path (hilbert, or
+    # past-long clip_id ranges).
+    monkeypatch.setattr(C, "curve_key_expr", lambda bounds, curve: None)
     n = 2000
     t = make_table(spark, str(tmp_path / "t"), n=n, parts=8)
     total_bytes = sum(e["byte_size"] for e in t.manifest_entries().to_pylist())
