@@ -506,24 +506,41 @@ def _load_resampler():
 
 
 def _resample_poly_np(x: np.ndarray, up: int, down: int) -> np.ndarray:
-    """Rational-rate resampling by L/M: zero-stuff by L, convolve with a
-    Hamming-windowed sinc lowpass at cutoff 1/max(L,M) (gain L), take
-    every M-th sample. Output length = ceil(len(x)*L/M)."""
+    """Rational-rate resampling by L/M: the SAME windowed-sinc lowpass
+    (cutoff 1/max(L,M), gain L, 10 zero-crossings per side) sampled on
+    the same output grid as the textbook zero-stuff→convolve→decimate
+    chain, but computed as a true polyphase gather: each output sample
+    only touches the ~filter_len/L taps that hit a real input sample.
+    The r1-r5 version materialized the zero-stuffed signal and ran a
+    dense np.convolve over it — O(n·L·taps) multiplies, ~7·10^9 MACs
+    for ONE 44.1k→16k clip (L=160, 8821 taps); this form is
+    O(n_out·taps/L) ≈ 10^5, identical output length and the same
+    filter mathematics (SNR/length contracts pytest-pinned).
+    Output length = ceil(len(x)*L/M)."""
     from math import gcd
 
     g = gcd(up, down)
     up, down = up // g, down // g
+    x = np.asarray(x, dtype=np.float64)
     if up == 1 and down == 1:
-        return np.asarray(x, dtype=np.float64)
+        return x
     m = max(up, down)
     half = 10 * m  # 10 zero-crossings per side
     t = np.arange(-half, half + 1, dtype=np.float64)
     fc = 1.0 / m
     h = fc * np.sinc(fc * t) * np.hamming(2 * half + 1) * up
-    y = np.zeros(len(x) * up, dtype=np.float64)
-    y[::up] = np.asarray(x, dtype=np.float64)
-    y = np.convolve(y, h, mode="full")[half : half + len(y)]
-    return y[::down]
+    n = len(x)
+    out_len = -(-n * up // down)  # ceil
+    pos = np.arange(out_len, dtype=np.int64) * down  # upsampled-domain index
+    # out[j] = Σ_i x[i] · h[pos_j − i·L + half] over taps inside the filter
+    i_lo = -(-(pos - half) // up)  # ceil((pos−half)/L)
+    taps = 2 * half // up + 2
+    idx = i_lo[:, None] + np.arange(taps, dtype=np.int64)[None, :]
+    hidx = pos[:, None] - idx * up + half
+    valid = (idx >= 0) & (idx < n) & (hidx >= 0) & (hidx <= 2 * half)
+    xi = np.where(valid, x[np.clip(idx, 0, n - 1)], 0.0)
+    hv = np.where(valid, h[np.clip(hidx, 0, 2 * half)], 0.0)
+    return np.einsum("ij,ij->i", xi, hv)
 
 
 def resample_clips(clips: DataFrame, target_sr: int) -> DataFrame:
