@@ -98,10 +98,21 @@ def dimension_bounds(table: Table) -> dict:
         "dur_lo": _fold("min_dur_ms", min),
         "dur_hi": _fold("max_dur_ms", max),
     }
-    codecs = sorted(
-        {e["min_codec"] for e in entries if e["min_codec"] is not None}
-        | {e["max_codec"] for e in entries if e["max_codec"] is not None}
-    )
+    observed = {e["min_codec"] for e in entries if e["min_codec"] is not None} | {
+        e["max_codec"] for e in entries if e["max_codec"] is not None
+    }
+    # layout-stability (r6): the extremum fold only sees values that are
+    # some file's min or max, so a rewrite that packs files differently
+    # can HIDE an interior value and silently shift every higher rank —
+    # the curve order of data already clustered under the old dictionary
+    # would then disagree with a post-rewrite recomputation. Once a
+    # value enters the dictionary it is remembered in the snapshot
+    # summary (cluster stamps it, meta.commit carries it forward like
+    # the last-cluster marker), so the dictionary only ever GROWS and
+    # ranks are reproducible at any later snapshot.
+    snap = table.current_snapshot()
+    stored = (snap.summary or {}).get("cluster_codec_ranks") if snap else None
+    codecs = sorted(observed | set(stored or []))
     b["codec_ranks"] = codecs
     b["codec_rank"] = {c: i for i, c in enumerate(codecs)}
     b["codec_hi"] = max(len(codecs) - 1, 1)
@@ -303,7 +314,10 @@ def _range_boundaries(df, key_col: str, n_out: int, rows_total: int) -> list:
     if n_out <= 1:
         return []
     if n_out * SAMPLES_PER_BUCKET <= DRIVER_SAMPLE_MAX:
-        vals = sorted(r[0] for r in df.select(key_col).collect())
+        # Arrow transfer (toPandas) instead of the py4j row collect —
+        # same values, several times faster for the ~200·n_out sample
+        # (guide §6 "Arrow for driver transfers")
+        vals = sorted(df.select(key_col).toPandas()[key_col].tolist())
         if not vals:
             return []
         return [vals[(len(vals) * i) // n_out] for i in range(1, n_out)]
@@ -411,14 +425,17 @@ def cluster(
     # APPLIED; removing the delete files here materializes them. The
     # commit pins the applied delete set (expected_delete_paths): a
     # delete-mor landing mid-rewrite must conflict, not be resurrected.
+    summary = {
+        "job_id": job_id,
+        "curve": curve,
+        "salt_buckets": effective_salt,
+        "deletes_materialized": len(dels),
+    }
+    if curve != "linear":
+        summary["cluster_codec_ranks"] = bounds["codec_ranks"]
     return _write_clustered(
         table, df, n_parts, sort_cols, job_id, entries + dels, total_bytes, base,
-        summary={
-            "job_id": job_id,
-            "curve": curve,
-            "salt_buckets": effective_salt,
-            "deletes_materialized": len(dels),
-        },
+        summary=summary,
         applied_delete_paths={e["file_path"] for e in dels},
     )
 
@@ -546,7 +563,8 @@ def cluster_incremental(
         )
         sort_cols = ["_bucket", "clip_id"]
     else:
-        key_col = curve_key_col(dimension_bounds(table), curve)
+        bounds = dimension_bounds(table)
+        key_col = curve_key_col(bounds, curve)
         sample = _sampled(new_df.select(*CLUSTER_DIMS), n_out, rows_total).withColumn(
             "_zval", key_col
         )
@@ -560,14 +578,17 @@ def cluster_incremental(
     # the churn read goes through _read_files -> outstanding deletes
     # are applied to the rewritten subset; pin the applied set so a
     # concurrent delete-mor conflicts instead of being resurrected
+    summary = {
+        "job_id": job_id,
+        "curve": curve,
+        "mode": "incremental",
+        "rewritten_bytes": new_bytes,
+        "untouched_files": len(prev_live & set(table.live_files(base))),
+    }
+    if curve != "linear":
+        summary["cluster_codec_ranks"] = bounds["codec_ranks"]
     return _write_clustered(
         table, df, len(boundaries) + 1, sort_cols, job_id, entries, new_bytes, base,
-        summary={
-            "job_id": job_id,
-            "curve": curve,
-            "mode": "incremental",
-            "rewritten_bytes": new_bytes,
-            "untouched_files": len(prev_live & set(table.live_files(base))),
-        },
+        summary=summary,
         applied_delete_paths={e["file_path"] for e in table.delete_entries(base)},
     )

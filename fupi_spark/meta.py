@@ -1017,6 +1017,17 @@ class Table:
                 )
                 if "last_cluster_snapshot_id" not in extra and inherited_lc is not None:
                     extra["last_cluster_snapshot_id"] = inherited_lc
+            # the cluster codec-rank dictionary is table-level state the
+            # same way (r6): once a codec value is ranked, later
+            # rewrites must not forget it — a re-packed layout can hide
+            # an interior value from every file's min/max stats, which
+            # would silently shift the curve order of already-clustered
+            # data (cluster.dimension_bounds)
+            inherited_cr = (
+                base.summary.get("cluster_codec_ranks") if base else None
+            )
+            if "cluster_codec_ranks" not in extra and inherited_cr is not None:
+                extra["cluster_codec_ranks"] = inherited_cr
             # wall-clock commit stamp (ms): enables AS-OF-timestamp time
             # travel (snapshot_as_of) — informational, never used for
             # ordering (snapshot ids are the total order)

