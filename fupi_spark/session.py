@@ -102,15 +102,41 @@ def _warm_engine(spark: SparkSession) -> None:
         d = tempfile.mkdtemp(prefix="fupi_warm_", dir=base)
         try:
             df = spark.range(100).select(
-                F.col("id"), F.col("id").cast("string").alias("s")
+                F.col("id"),
+                F.col("id").cast("string").alias("s"),
+                F.array(*[F.lit(float(i)) for i in range(4)]).alias("v"),
             )
             df.write.mode("overwrite").parquet(d)
             p = spark.read.parquet(d)
             small = spark.range(10).withColumnRenamed("id", "k")
+            # higher-order fold + top-k + ordered struct agg (the ANN /
+            # flagship operator shapes), nested-array vectorized reader
+            fold = F.aggregate(
+                F.zip_with(
+                    F.col("v").cast("array<double>"),
+                    F.array(*[F.lit(0.5)] * 4),
+                    lambda x, q: (x - q) * (x - q),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
             (
                 p.join(F.broadcast(small), p.id == small.k)
+                .select("id", "s", fold.alias("d"))
+                .orderBy(F.col("d").asc(), F.col("id").asc())
+                .limit(5)
                 .groupBy("s")
-                .agg(F.min("id").alias("m"), F.collect_list(F.struct("id")).alias("l"))
+                .agg(
+                    F.round(F.min("d"), 2).alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("d", "id"))),
+                            lambda x: x["id"].cast("string"),
+                        ),
+                        ", ",
+                    ).alias("j"),
+                )
                 .orderBy("m")
                 .limit(5)
                 .count()
