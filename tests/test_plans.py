@@ -143,3 +143,11 @@ def test_dense_ids_matches_global_window(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_join_orders_customer_preaggregates_fact_side(spark, sf_dir):
+    """r6: the fact side is aggregated BELOW the broadcast join (the
+    join and shuffle carry per-custkey partials, not raw order rows)."""
+    p = plan_of(Q.QUERIES["join_orders_customer"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert p.index("BroadcastHashJoin") < p.index("HashAggregate"), p
