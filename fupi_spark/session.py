@@ -145,6 +145,21 @@ def _warm_engine(spark: SparkSession) -> None:
             p.select(
                 F.row_number().over(W.partitionBy("s").orderBy("id")).alias("r")
             ).count()
+            # fork + warm EVERY reused python worker (numpy/pandas
+            # imports are ~0.3-0.5 s per worker and were otherwise paid
+            # by the first real mapInPandas stage)
+            par = spark.sparkContext.defaultParallelism
+
+            def _imp(it):
+                import numpy  # noqa: F401
+                import pandas  # noqa: F401
+
+                for pdf in it:
+                    yield pdf
+
+            spark.range(0, 2 * par, 1, 2 * par).mapInPandas(
+                _imp, schema="id long"
+            ).count()
         finally:
             shutil.rmtree(d, ignore_errors=True)
     except Exception:
