@@ -1140,7 +1140,9 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.groupBy("event_type")
         .agg(
-            F.max("n").alias("n"),
+            # r6: DOUBLE to match the frozen oracle's HUGEINT MAX(n) on
+            # the comparison side (float64) — VERDICT r5 #1; exact
+            F.max("n").cast("double").alias("n"),
             pick("(n + 1) div 2").alias("p50_est"),
             pick("(19 * n + 19) div 20").alias("p95_est"),
             pick("(99 * n + 99) div 100").alias("p99_est"),
