@@ -43,7 +43,11 @@ FAKE_MAGIC = b"FAKE"
 # passes per sample). Overridable for tuning experiments.
 import os as _os
 
-_BLOCK_SAMPLES = int(_os.environ.get("FUPI_BLOCK_SAMPLES", "1500000"))
+_BLOCK_SAMPLES = int(_os.environ.get("FUPI_BLOCK_SAMPLES", "375000"))
+# r6: swept 187k-3M at 32 workers — 375k reproducibly ~10% faster than
+# the old 1.5M default (float64 temporaries ~3 MB/pass stay closer to
+# per-core cache when 32 workers stream side by side); block size only
+# batches whole clips, so outputs are bit-identical at any setting
 
 
 # ---------------------------------------------------------------------------
