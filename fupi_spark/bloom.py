@@ -97,12 +97,33 @@ def refresh_bloom_index(table, col: str) -> dict:
 
     rows: list[tuple] = list(existing.values())
     if todo:
-        df = spark.read.parquet(
-            *[f"{table.root}/{p}" for p in todo]
-        ).select(
+        # evolution-aware read of the todo files: old files store the
+        # PHYSICAL pre-rename column names, so a raw read would fail to
+        # resolve a renamed index column (AnalysisException). Replay
+        # the snapshot's schema ops like every other consumer — but on
+        # the raw per-file read, NOT through _read_files: MOR delete
+        # application joins away input_file_name(), and indexing
+        # to-be-deleted keys is harmless anyway (false positives only,
+        # never false negatives).
+        ops = table.schema_ops()
+        reader = spark.read
+        if ops:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[f"{table.root}/{p}" for p in todo])
+        if ops:
+            from .evolve import apply_schema_ops
+
+            df = apply_schema_ops(df, ops)
+        # NULL keys carry no probe positions (md5(NULL) is NULL; the
+        # NaN positions crashed the bitset scatter) and a point lookup
+        # is by definition on a concrete key — leave them unindexed.
+        # A file of ONLY null keys then has no index row, which
+        # point_lookup already treats as unprunable (read it), so the
+        # no-false-negative invariant holds.
+        df = df.select(
             F.col(col).cast("string").alias("_key"),
             F.input_file_name().alias("_file"),
-        )
+        ).filter(F.col("_key").isNotNull())
         # hash to bit positions JVM-side (md5 inside codegen — the
         # same bytes hashlib computes in probe_positions), then
         # distinct: the shuffle carries at most m=BLOOM_BITS

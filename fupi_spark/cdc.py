@@ -65,6 +65,36 @@ def _delete_signature(specs: list[dict], file_seq: int) -> tuple:
     )
 
 
+def _schema_frame(table, snap) -> DataFrame:
+    """Zero-row DataFrame with ``snap``'s user-facing schema. scan()
+    reads data files; for a FILE-FREE snapshot (e.g. the end of a
+    delete-everything interval) the schema is derived instead from the
+    nearest earlier snapshot that has files, replaying the schema-op
+    suffix committed between the two (ops are inherited append-only;
+    after a rollback that rewrote op history the fallback's own schema
+    is the best available expression)."""
+    if table.data_entries(snap):
+        return table.scan(snap.snapshot_id).limit(0)
+    ops_here = table.schema_ops(snap)
+    ids = [s for s in table.snapshot_ids() if s != snap.snapshot_id]
+    earlier = [s for s in ids if s < snap.snapshot_id]
+    later = [s for s in ids if s > snap.snapshot_id]
+    for sid in list(reversed(earlier)) + later:
+        cand = table.snapshot(sid)
+        if not table.data_entries(cand):
+            continue
+        base = table.scan(cand.snapshot_id).limit(0)
+        ops_base = table.schema_ops(cand)
+        if ops_here[: len(ops_base)] == ops_base and len(ops_here) > len(ops_base):
+            from .evolve import apply_schema_ops
+
+            return apply_schema_ops(base, ops_here[len(ops_base):])
+        return base
+    raise ValueError(
+        "cannot derive a schema: no snapshot of this table ever had data files"
+    )
+
+
 def changelog_scan(
     table,
     from_snapshot_id: int,
@@ -115,7 +145,15 @@ def changelog_scan(
     new_side_paths = new_only + changed
     old_side_paths = old_only + changed
 
-    new_cols = table.scan(new_snap.snapshot_id).columns
+    # the output schema is the NEW snapshot's — but scan() needs data
+    # files, and an interval ending in full deletion leaves the new
+    # snapshot file-free. Derive a zero-row frame carrying that schema
+    # from the nearest file-bearing snapshot + the schema-op suffix
+    # committed since (advice r6: the changelog over a delete-everything
+    # interval must return all-delete rows, not raise 'empty table').
+    new_schema_df = _schema_frame(table, new_snap)
+    new_cols = new_schema_df.columns
+    new_types = dict(new_schema_df.dtypes)
     ops_old = table.schema_ops(old_snap)
     ops_new = table.schema_ops(new_snap)
 
@@ -138,9 +176,6 @@ def changelog_scan(
             # else (rollback rewrote history): fall through to the
             # name-based align below — dropped/unmatched columns vanish,
             # new columns surface as NULL in pre-evolution row images
-        new_types = dict(
-            table.scan(new_snap.snapshot_id).dtypes
-        )
         return df.select(
             *[
                 F.col(c) if c in df.columns
@@ -152,10 +187,8 @@ def changelog_scan(
     old_df = read_side(old_side_paths, old_snap)
     new_df = read_side(new_side_paths, new_snap)
 
-    spark = table.spark
     if old_df is None and new_df is None:
-        empty = table.scan(new_snap.snapshot_id).limit(0)
-        return empty.withColumn(CHANGE_TYPE_COL, F.lit("insert")).limit(0)
+        return new_schema_df.withColumn(CHANGE_TYPE_COL, F.lit("insert")).limit(0)
     if old_df is None:  # append-only interval: no anti-join needed
         return new_df.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
     if new_df is None:  # pure-removal interval

@@ -1959,11 +1959,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes_back = spark.read.parquet(f"{_PQ_SCRATCH}/codes")
     top = pq_topk(emb, codes_back, "embedding", "vec_id", lut, QUERY_VEC)
-    return top.select(
+    # order by the FULL-PRECISION exact distance (the oracle's ORDER
+    # BY), not the floored e4 projection: two candidates sharing an e4
+    # floor but differing in exact distance would otherwise order
+    # differently than the oracle (advice r6; the sibling ivf_pq
+    # queries already order by _d before the projection)
+    return top.orderBy(F.col("_exact").asc(), F.col("vec_id").asc()).select(
         "vec_id",
         F.floor(F.col("_adc") * 10000).cast("bigint").alias("adc_e4"),
         F.floor(F.col("_exact") * 10000).cast("bigint").alias("distance_e4"),
-    ).orderBy("distance_e4", "vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

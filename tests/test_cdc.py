@@ -172,3 +172,20 @@ def test_payload_transform_is_visible_change(spark, tmp_path):
     from collections import Counter
     per = Counter(ct for _, ct in rows)
     assert per["delete"] == len(changed) and per["insert"] == len(changed)
+
+
+def test_changelog_interval_ending_in_full_deletion(spark, tmp_path):
+    """ADVICE r6: a changelog over an interval whose END snapshot has
+    zero data files (here: rollback to the empty create snapshot) must
+    return all-delete rows, not raise scan()'s 'empty table' — the
+    output schema is derived without reading data files."""
+    t = make_table(spark, str(tmp_path / "t"), n=40, parts=2)
+    seeded = t.current_snapshot().snapshot_id
+    ids = sorted(r.clip_id for r in t.scan().select("clip_id").collect())
+    create_id = min(t.snapshot_ids())  # the file-free "create" snapshot
+    meta.rollback(t, create_id)
+    assert t.data_entries() == []  # precondition: file-free endpoint
+    assert _changes(t, seeded) == [(c, "delete") for c in ids]
+    # degenerate empty interval over the file-free endpoint also works
+    wiped = t.current_snapshot().snapshot_id
+    assert _changes(t, wiped, wiped) == []

@@ -75,3 +75,27 @@ def test_trim_removes_planted_prefix_bytes(spark, tmp_path):
         if len(pcm) >= fs:  # first remaining full frame is voiced
             x = pcm[:fs].astype(np.float64)
             assert np.sqrt((x * x).mean()) >= 1.0, r.clip_id
+
+
+def test_schema_changing_transform_rejected(spark, tmp_path):
+    """ADVICE r6: the docstring contract (callback must preserve the
+    user-facing schema) is now enforced — a transform that drops, adds,
+    or retypes a column raises instead of committing a replacing
+    snapshot with a silently divergent schema."""
+    import pytest
+
+    t = make_table(spark, str(tmp_path / "t"), n=30, parts=2)
+    before = t.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="schema"):
+        transform_payloads(t, lambda df: df.drop("transcript"), job_id="bad1")
+    with pytest.raises(ValueError, match="schema"):
+        transform_payloads(
+            t, lambda df: df.withColumn("extra", F.lit(1)), job_id="bad2"
+        )
+    with pytest.raises(ValueError, match="schema"):
+        transform_payloads(
+            t,
+            lambda df: df.withColumn("dur_ms", F.col("dur_ms").cast("long")),
+            job_id="bad3",
+        )
+    assert t.current_snapshot().snapshot_id == before  # nothing committed
